@@ -1,0 +1,269 @@
+package graft.laketable
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** One immutable data file of a snapshot. `bucket` is the hash-bucket of the
+  * merge key (`repo`) the file belongs to — the unit of copy-on-write MERGE.
+  * `schemaVersion` records which column mapping the file was written under
+  * (Iceberg-style field-id rename support).
+  */
+final case class DataFileEntry(path: String, bucket: Int, rows: Long, schemaVersion: Int)
+
+/** A named, typed column with a stable field id. Renames keep the id. */
+final case class FieldDef(id: Int, name: String, dataType: String)
+
+final case class Snapshot(
+    version: Long,
+    schemaVersion: Int,
+    schemas: Map[Int, Seq[FieldDef]],
+    numBuckets: Int,
+    files: Seq[DataFileEntry],
+    summary: Map[String, String]) {
+
+  def currentSchema: Seq[FieldDef] = schemas(schemaVersion)
+
+  def sparkSchema: StructType =
+    StructType(currentSchema.map(f => StructField(f.name, DataType.fromDDL(f.dataType))))
+}
+
+/** Iceberg-style snapshot table, built from scratch (no Iceberg/Delta runtime
+  * exists in this environment): immutable Parquet data files + JSON snapshot
+  * metadata + an atomic version-pointer swap. Per-shard VGTID cursors, lineage
+  * and metrics live in the snapshot `summary`, so data and cursor commit in
+  * the SAME atomic operation — the exactly-once mechanism the reference only
+  * approximates by emitting STATE after RECORD batches
+  * (`cmd/airbyte-source/read.go:131-137`).
+  *
+  * Layout (works on any Hadoop FileSystem — local, HDFS, S3A):
+  *   <root>/data/<uuid>.parquet          immutable data files
+  *   <root>/meta/v<N>.json               snapshot N
+  *   <root>/meta/version-hint.txt        current version (atomic rename swap)
+  *
+  * Scale design: data files are bucketed by `pmod(xxhash64(repo), numBuckets)`
+  * so a MERGE touches only the buckets present in the incoming batch; at
+  * 100 TB with numBuckets sized so a bucket ≈ a few GB, a micro-batch rewrite
+  * is O(affected buckets), never a full-table rewrite.
+  */
+final class LakeTable(val root: String, spark: SparkSession) {
+  import LakeTable._
+
+  private val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+  private def fs: FileSystem = new Path(root).getFileSystem(conf)
+
+  private val metaDir = new Path(root, "meta")
+  private val dataDir = new Path(root, "data")
+  private val hintFile = new Path(metaDir, "version-hint.txt")
+
+  // ---- snapshot IO -------------------------------------------------------
+
+  def currentVersion: Option[Long] = {
+    val f = fs
+    if (!f.exists(hintFile)) None
+    else {
+      val in = new BufferedReader(new InputStreamReader(f.open(hintFile), StandardCharsets.UTF_8))
+      try Some(in.readLine().trim.toLong) finally in.close()
+    }
+  }
+
+  def snapshot(version: Long): Snapshot = {
+    val f = fs
+    val p = new Path(metaDir, s"v$version.json")
+    val in = f.open(p)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+    snapshotFromJson(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  def currentSnapshot: Option[Snapshot] = currentVersion.map(snapshot)
+
+  private def writeSnapshot(s: Snapshot): Unit = {
+    val f = fs
+    f.mkdirs(metaDir)
+    val p = new Path(metaDir, s"v${s.version}.json")
+    val out = f.create(p, false)
+    try out.write(snapshotToJson(s).getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // atomic pointer swap: write tmp hint then rename over the old one
+    val tmp = new Path(metaDir, s".version-hint.${UUID.randomUUID()}.tmp")
+    val o2 = f.create(tmp, true)
+    try o2.write(s.version.toString.getBytes(StandardCharsets.UTF_8)) finally o2.close()
+    if (f.exists(hintFile)) f.delete(hintFile, false)
+    if (!f.rename(tmp, hintFile))
+      throw new IllegalStateException(s"atomic commit failed for v${s.version}")
+  }
+
+  // ---- create / read -----------------------------------------------------
+
+  def create(schema: StructType, numBuckets: Int, props: Map[String, String] = Map.empty): Snapshot = {
+    require(currentVersion.isEmpty, s"table already exists at $root")
+    val fields = schema.fields.zipWithIndex.map { case (f, i) => FieldDef(i + 1, f.name, f.dataType.sql) }
+    val snap = Snapshot(0L, 0, Map(0 -> fields.toSeq), numBuckets, Nil, props)
+    fs.mkdirs(dataDir)
+    writeSnapshot(snap)
+    snap
+  }
+
+  /** Read the table at a snapshot (default: current). Files written under an
+    * older schema version are re-mapped to current column names by field id
+    * (rename = metadata only, Iceberg-style) and missing columns filled null.
+    */
+  def read(version: Option[Long] = None): DataFrame = {
+    val snap = version.map(snapshot).getOrElse(
+      currentSnapshot.getOrElse(throw new IllegalStateException(s"no table at $root")))
+    readFiles(snap, snap.files)
+  }
+
+  private[graft] def readFiles(snap: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
+    val cur = snap.currentSchema
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.sparkSchema)
+    } else {
+      files.groupBy(_.schemaVersion).map { case (sv, group) =>
+        val written = snap.schemas(sv)
+        val byId = written.map(f => f.id -> f).toMap
+        var df = spark.read.parquet(group.map(f => new Path(root, f.path).toString): _*)
+        // project written-name → current-name by field id; missing → null
+        val cols = cur.map { c =>
+          byId.get(c.id) match {
+            case Some(w) => col(w.name).cast(DataType.fromDDL(c.dataType)).as(c.name)
+            case None    => lit(null).cast(DataType.fromDDL(c.dataType)).as(c.name)
+          }
+        }
+        df.select(cols: _*)
+      }.reduce(_.unionByName(_))
+    }
+  }
+
+  /** Files of the current snapshot belonging to the given buckets. */
+  def filesInBuckets(snap: Snapshot, buckets: Set[Int]): Seq[DataFileEntry] =
+    snap.files.filter(f => buckets.contains(f.bucket))
+
+  // ---- write / commit ----------------------------------------------------
+
+  /** Write `df` (must match current schema + a `_bucket` int column) as new
+    * data files, one parquet directory write partitioned by bucket, then
+    * moved into data/ with stable names. Returns the manifest entries.
+    */
+  private[graft] def writeDataFiles(df: DataFrame, schemaVersion: Int): Seq[DataFileEntry] = {
+    val stage = new Path(root, s"stage-${UUID.randomUUID()}")
+    df.write.partitionBy("_bucket").parquet(stage.toString)
+    val f = fs
+    val entries = f.listStatus(stage).toSeq.filter(_.isDirectory).flatMap { dir =>
+      val bucket = dir.getPath.getName.stripPrefix("_bucket=").toInt
+      f.listStatus(dir.getPath).toSeq.filter(_.getPath.getName.endsWith(".parquet")).map { st =>
+        val name = s"${UUID.randomUUID()}.parquet"
+        val dest = new Path(dataDir, name)
+        if (!f.rename(st.getPath, dest))
+          throw new IllegalStateException(s"failed to move ${st.getPath}")
+        DataFileEntry(s"data/$name", bucket, -1L, schemaVersion)
+      }
+    }
+    f.delete(stage, true)
+    entries
+  }
+
+  /** Commit a new snapshot replacing all files in `replacedBuckets` with
+    * `newFiles`, merging `summaryUpdates` into the previous summary.
+    * Single-writer (the streaming driver); the version-hint swap is atomic.
+    */
+  def commit(
+      replacedBuckets: Set[Int],
+      newFiles: Seq[DataFileEntry],
+      summaryUpdates: Map[String, String]): Snapshot = {
+    val prev = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
+    val kept = prev.files.filterNot(f => replacedBuckets.contains(f.bucket))
+    val snap = prev.copy(
+      version = prev.version + 1,
+      files = kept ++ newFiles,
+      summary = prev.summary ++ summaryUpdates)
+    writeSnapshot(snap)
+    snap
+  }
+
+  // ---- schema evolution ---------------------------------------------------
+
+  /** Avro-diff-driven evolution: `renames` map old→new name (field id kept),
+    * `adds` append new fields with fresh ids. Metadata-only commit — no data
+    * files rewritten (old files re-mapped at read time by field id).
+    */
+  def evolveSchema(renames: Map[String, String], adds: Seq[(String, String)]): Snapshot = {
+    val prev = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
+    val cur = prev.currentSchema
+    renames.keys.foreach { o => require(cur.exists(_.name == o), s"rename source missing: $o") }
+    adds.foreach { case (n, _) => require(!cur.exists(_.name == n), s"add duplicates column: $n") }
+    val renamed = cur.map(f => renames.get(f.name).map(n => f.copy(name = n)).getOrElse(f))
+    val maxId = prev.schemas.values.flatten.map(_.id).max
+    val added = adds.zipWithIndex.map { case ((n, t), i) => FieldDef(maxId + 1 + i, n, t) }
+    val sv = prev.schemaVersion + 1
+    val snap = prev.copy(
+      version = prev.version + 1,
+      schemaVersion = sv,
+      schemas = prev.schemas.updated(sv, renamed ++ added))
+    writeSnapshot(snap)
+    snap
+  }
+
+  // ---- convenience --------------------------------------------------------
+
+  def summaryValue(key: String): Option[String] =
+    currentSnapshot.flatMap(_.summary.get(key))
+
+  def drop(): Unit = { val f = fs; if (f.exists(new Path(root))) f.delete(new Path(root), true) }
+}
+
+object LakeTable {
+  private val mapper = new ObjectMapper()
+
+  def bucketExpr(numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("repo")), lit(numBuckets)).cast("int")
+
+  def snapshotToJson(s: Snapshot): String = {
+    val n = mapper.createObjectNode()
+    n.put("version", s.version)
+    n.put("schemaVersion", s.schemaVersion)
+    n.put("numBuckets", s.numBuckets)
+    val schemas = n.putObject("schemas")
+    s.schemas.toSeq.sortBy(_._1).foreach { case (sv, fields) =>
+      val arr = schemas.putArray(sv.toString)
+      fields.foreach { f =>
+        val fn = arr.addObject()
+        fn.put("id", f.id); fn.put("name", f.name); fn.put("type", f.dataType)
+      }
+    }
+    val files = n.putArray("files")
+    s.files.foreach { f =>
+      val fn = files.addObject()
+      fn.put("path", f.path); fn.put("bucket", f.bucket)
+      fn.put("rows", f.rows); fn.put("schemaVersion", f.schemaVersion)
+    }
+    val sum = n.putObject("summary")
+    s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sum.put(k, v) }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  def snapshotFromJson(json: String): Snapshot = {
+    val n = mapper.readTree(json)
+    val schemas = n.get("schemas").properties().asScala.map { e =>
+      val fields = e.getValue.asInstanceOf[ArrayNode].asScala.map { fn =>
+        FieldDef(fn.get("id").asInt(), fn.get("name").asText(), fn.get("type").asText())
+      }.toSeq
+      e.getKey.toInt -> fields
+    }.toMap
+    val files = n.get("files").asInstanceOf[ArrayNode].asScala.map { fn =>
+      DataFileEntry(fn.get("path").asText(), fn.get("bucket").asInt(),
+        fn.get("rows").asLong(), fn.get("schemaVersion").asInt())
+    }.toSeq
+    val summary = n.get("summary").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    Snapshot(n.get("version").asLong(), n.get("schemaVersion").asInt(), schemas,
+      n.get("numBuckets").asInt(), files, summary)
+  }
+}

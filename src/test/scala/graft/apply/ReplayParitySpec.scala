@@ -1,0 +1,100 @@
+package graft.apply
+
+import graft.SparkSupport
+import graft.core.{ChangeEvent, ShardCursor}
+import graft.genlog.{ChangelogGen, GenConfig}
+import graft.laketable.LakeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end replay parity: apply the full synthetic changelog through the
+  * engine and assert the final table equals the independent oracle row-for-row
+  * by (repo, path, sha256(content)) — the per-row invariant from
+  * BASELINE.json `input_hint`. Mirrors the reference's copy→catchup replay
+  * tests (`planetscale_edge_database_test.go:2170-2493`).
+  */
+class ReplayParitySpec extends AnyFunSuite with SparkSupport {
+
+  private def digest(df: DataFrame): DataFrame =
+    df.select(col("repo"), col("path"), col("commit"), col("lang"),
+      sha2(col("content"), 256).as("sha"))
+
+  private def assertParity(table: LakeTable, expected: DataFrame): Unit = {
+    val got = digest(table.read())
+    val want = digest(expected)
+    assert(got.count() == want.count(), "row count mismatch")
+    assert(got.exceptAll(want).isEmpty, "engine rows not in oracle")
+    assert(want.exceptAll(got).isEmpty, "oracle rows not in engine")
+  }
+
+  private def endCursors(c: GenConfig, events: DataFrame): Map[String, ShardCursor] = {
+    import org.apache.spark.sql.Row
+    events.groupBy("shard").agg(max("event_seq").as("m"), first("vgtid").as("v"))
+      .collect().map { case Row(shard: String, m: Long, v: String) =>
+        shard -> ShardCursor(c.keyspace, shard, v, None)
+      }.toMap
+  }
+
+  test("single-batch replay reaches oracle state (catch-up only)") {
+    val c = GenConfig(numEvents = 20000L, numShards = 4, numRepos = 60, pathsPerRepo = 40)
+    val t = new LakeTable(tmpDir("replay") + "/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 8)
+    val stream = ChangelogGen.changelog(spark, c)
+    val res = CdcApply.replayAll(t, stream, endCursors(c, stream))
+    assert(!res.skipped && res.upserts > 0)
+    assertParity(t, ChangelogGen.expectedFinalState(spark, c))
+  }
+
+  test("copy phase + catch-up replay reaches oracle state") {
+    val c = GenConfig(numEvents = 15000L, numShards = 4, numRepos = 60,
+      pathsPerRepo = 40, copyRows = 3000L)
+    val t = new LakeTable(tmpDir("replay") + "/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 8)
+    val res = CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c), Map.empty)
+    assert(!res.skipped)
+    assertParity(t, ChangelogGen.expectedFinalState(spark, c))
+  }
+
+  test("multi-batch apply + idempotent replay of a committed batch") {
+    val c = GenConfig(numEvents = 12000L, numShards = 2, numRepos = 40, pathsPerRepo = 30)
+    val t = new LakeTable(tmpDir("replay") + "/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 8)
+    val all = ChangelogGen.changelog(spark, c).cache()
+    val cut = 6000L
+    val b1 = all.filter(col("event_seq") <= cut)
+    val b2 = all.filter(col("event_seq") > cut)
+
+    val r1 = CdcApply.applyBatch(t, b1, endCursors(c, b1), batchId = 1L)
+    assert(!r1.skipped)
+    // crash-replay of batch 1 after commit → no-op, version unchanged
+    val v = t.currentVersion.get
+    val r1b = CdcApply.applyBatch(t, b1, endCursors(c, b1), batchId = 1L)
+    assert(r1b.skipped && t.currentVersion.contains(v))
+
+    val r2 = CdcApply.applyBatch(t, b2, endCursors(c, b2), batchId = 2L)
+    assert(!r2.skipped)
+    assertParity(t, ChangelogGen.expectedFinalState(spark, c))
+
+    // cursors committed transactionally with the data
+    val cur = t.summaryValue("cursors")
+    assert(cur.exists(_.contains("MySQL56/")))
+    all.unpersist()
+  }
+
+  test("parity mode drops deletes (reference After-image-only semantics)") {
+    val c = GenConfig(numEvents = 8000L, numShards = 2, numRepos = 30,
+      pathsPerRepo = 20, deleteRatio = 0.2)
+    val t = new LakeTable(tmpDir("replay") + "/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    CdcApply.replayAll(t, ChangelogGen.changelog(spark, c), Map.empty,
+      CdcApply.ApplyConfig(parityMode = true))
+    // oracle for parity mode: last non-delete event per key always survives
+    val ev = ChangelogGen.changelog(spark, c).filter(col("op") =!= "delete")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("after.repo", "after.path").orderBy(col("event_seq").desc)
+    val want = ev.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select("after.*")
+    assertParity(t, want)
+  }
+}
