@@ -1,0 +1,221 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.core.ChangeEvent
+import graft.genlog.{ChangelogGen, EventGen, GenConfig}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DSv2 micro-batch source over the synthetic sharded changelog — the
+  * Spark-native VStream tail (reference A1–A4, `cmd/internal/
+  * planetscale_edge_database.go:291-505`):
+  *
+  *  - one (or more, chunked) input partition per shard — the reference's
+  *    sequential stream×shard loop (`read.go:103-138`) becomes task
+  *    parallelism;
+  *  - offsets = per-shard positions, JSON-serialized into the checkpoint
+  *    (cursor serde semantics of `types.go:112-137`);
+  *  - `latestOffset()` is the peek (A2: open at "current", read head);
+  *  - admission control (`maxEventsPerTrigger`) bounds each batch the way the
+  *    reference fences syncs with a stop position (A4);
+  *  - Trigger.AvailableNow ≈ one Airbyte `read` invocation: peek once, drain
+  *    to that head, stop.
+  *
+  * The `endSeq` option caps the visible head below the true total — it
+  * simulates "the binlog only has this much yet" for kill/resume tests.
+  */
+class ChangelogSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-changelog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangelogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ChangelogTable(ChangelogSource.parseOptions(properties.asScala.toMap))
+}
+
+object ChangelogSource {
+  val schema: StructType = ExpressionEncoder[ChangeEvent]().schema
+
+  final case class SourceOptions(
+      gen: GenConfig,
+      maxEventsPerTrigger: Long,
+      rowsPerPartition: Long,
+      endSeq: Option[Long])
+
+  def parseOptions(opts: Map[String, String]): SourceOptions = {
+    def l(k: String, d: Long) = opts.get(k).map(_.toLong).getOrElse(d)
+    def i(k: String, d: Int) = opts.get(k).map(_.toInt).getOrElse(d)
+    def dd(k: String, d: Double) = opts.get(k).map(_.toDouble).getOrElse(d)
+    SourceOptions(
+      GenConfig(
+        seed = l("seed", 42L),
+        numEvents = l("numEvents", 100000L),
+        numShards = i("numShards", 4),
+        numRepos = i("numRepos", 100),
+        pathsPerRepo = i("pathsPerRepo", 50),
+        keyspace = opts.getOrElse("keyspace", "ks"),
+        zipfSkew = dd("zipfSkew", 2.0),
+        deleteRatio = dd("deleteRatio", 0.05),
+        copyRows = l("copyRows", 0L),
+        contentBlocks = i("contentBlocks", 8)),
+      maxEventsPerTrigger = l("maxEventsPerTrigger", Long.MaxValue),
+      rowsPerPartition = l("rowsPerPartition", 250000L),
+      endSeq = opts.get("endSeq").map(_.toLong))
+  }
+}
+
+class ChangelogTable(opts: ChangelogSource.SourceOptions) extends Table with SupportsRead {
+  override def name(): String = s"graft_changelog(${opts.gen.keyspace})"
+  override def schema(): StructType = ChangelogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = ChangelogSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ChangelogMicroBatchStream(opts)
+        override def toBatch: Batch = new ChangelogBatch(opts)
+      }
+    }
+}
+
+/** Per-shard positions (rows consumed from the unified copy+catchup space). */
+case class ChangelogOffset(positions: Map[Int, Long]) extends Offset {
+  override def json(): String = {
+    val m = new ObjectMapper().createObjectNode()
+    positions.toSeq.sortBy(_._1).foreach { case (s, p) => m.put(s.toString, p) }
+    m.toString
+  }
+}
+
+object ChangelogOffset {
+  def fromJson(s: String): ChangelogOffset = {
+    val n = new ObjectMapper().readTree(s)
+    ChangelogOffset(n.properties().asScala.map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
+  }
+}
+
+class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  private val c = opts.gen
+
+  /** Head of the simulated binlog per shard (A2 peek target). */
+  private def head(shardIdx: Int): Long = {
+    val total = EventGen.totalPerShard(shardIdx, c)
+    opts.endSeq.map(e => math.min(total, e)).getOrElse(total)
+  }
+
+  private def fullHead: ChangelogOffset =
+    ChangelogOffset((0 until c.numShards).map(i => i -> head(i)).toMap)
+
+  @volatile private var availableNowHead: Option[ChangelogOffset] = None
+
+  override def initialOffset(): Offset =
+    ChangelogOffset((0 until c.numShards).map(_ -> 0L).toMap)
+
+  override def deserializeOffset(json: String): Offset = ChangelogOffset.fromJson(json)
+
+  override def latestOffset(): Offset = fullHead
+
+  override def reportLatestOffset(): Offset = fullHead
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (opts.maxEventsPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(opts.maxEventsPerTrigger)
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    // peek once; drain to this head and stop (one Airbyte `read` invocation)
+    availableNowHead = Some(fullHead)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ChangelogOffset].positions
+    val target = availableNowHead.getOrElse(fullHead).positions
+    val maxRows = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _              => Long.MaxValue
+    }
+    if (maxRows == Long.MaxValue) ChangelogOffset(target)
+    else {
+      // spread the row budget across shards (MinimizeSkew analogue)
+      val perShard = math.max(1L, maxRows / c.numShards)
+      ChangelogOffset(target.map { case (s, t) =>
+        s -> math.min(t, from.getOrElse(s, 0L) + perShard)
+      })
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[ChangelogOffset].positions
+    val to = end.asInstanceOf[ChangelogOffset].positions
+    ChangelogPlanner.plan(c, from, to, opts.rowsPerPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new ChangelogReaderFactory(c)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Bounded (batch) scan over the same offset space — full replay as a batch. */
+class ChangelogBatch(opts: ChangelogSource.SourceOptions) extends Batch {
+  private val c = opts.gen
+  override def planInputPartitions(): Array[InputPartition] = {
+    val from = (0 until c.numShards).map(_ -> 0L).toMap
+    val to = (0 until c.numShards).map(i => i -> EventGen.totalPerShard(i, c)).toMap
+    ChangelogPlanner.plan(c, from, to, opts.rowsPerPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new ChangelogReaderFactory(c)
+}
+
+object ChangelogPlanner {
+  /** One partition per shard-chunk: shard-level parallelism (A12/A20) plus
+    * chunking so a big catch-up doesn't serialize into one long task.
+    */
+  def plan(c: GenConfig, from: Map[Int, Long], to: Map[Int, Long],
+      rowsPerPartition: Long): Array[InputPartition] =
+    (0 until c.numShards).flatMap { s =>
+      val f = from.getOrElse(s, 0L)
+      val t = to.getOrElse(s, 0L)
+      if (t <= f) Nil
+      else (f until t by rowsPerPartition).map { chunkStart =>
+        ChangelogInputPartition(s, chunkStart, math.min(t, chunkStart + rowsPerPartition), c)
+      }
+    }.toArray
+}
+
+case class ChangelogInputPartition(shardIdx: Int, from: Long, to: Long, c: GenConfig)
+    extends InputPartition
+
+class ChangelogReaderFactory(c: GenConfig) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChangelogInputPartition]
+    new PartitionReader[InternalRow] {
+      private val serializer = ExpressionEncoder[ChangeEvent]().createSerializer()
+      private val paths = EventGen.sortedPaths(p.c)
+      private var pos = p.from
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (pos >= p.to) false
+        else {
+          row = serializer(EventGen.eventAt(p.shardIdx, pos, p.c, paths))
+          pos += 1
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
