@@ -1,0 +1,231 @@
+package graft
+
+/** DuckDB-runnable ANSI oracles for every SQL-expressible `SparkEntry.queries`
+  * entry. Column names/aliases match the Spark side exactly (driver compare
+  * sorts columns by name before hashing). Engine-internal operators (DSv2
+  * source, lake merge, MinHash/SimHash/LSH, rolling-hash fingerprint) are
+  * intentionally absent → driver records a rows-only check; their correctness
+  * lives in ScalaTest suites.
+  *
+  * Determinism notes: double aggregates are cast to DECIMAL pre-sum (exact,
+  * order-free); ratios use integer `//` division; DuckDB `regexp_replace`
+  * needs the 'g' flag to match Spark's replace-all default.
+  */
+object OracleSql {
+
+  private val langCase: String = {
+    // mirrors TextFunctions.langId: scores per lang over ' '||text||' ',
+    // predicted = first (alphabetical) language attaining the max score
+    val scores = graft.functions.TextFunctions.langMarkers.map { case (lang, kws) =>
+      val sum = kws.map { kw =>
+        s"((length(p)-length(replace(p,'$kw','')))//${kw.length})"
+      }.mkString(" + ")
+      lang -> s"($sum)"
+    }
+    val m = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (l, e) => s"WHEN $e = m THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, lang, CASE $cases END AS predicted
+       FROM (SELECT doc_id, lang, $m AS m, p FROM
+         (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents))""".stripMargin
+  }
+
+  val sql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+         count(*) AS n
+         FROM lineitem GROUP BY 1, 2""",
+
+    "q2_join_regions" ->
+      """SELECT r_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+         count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1""",
+
+    "q3_top_revenue" ->
+      """SELECT l_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))))
+              AS DECIMAL(18,4)) AS revenue
+         FROM lineitem GROUP BY 1
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         GROUP BY 1""",
+
+    "q5_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n, min(c_custkey) AS min_key
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1""",
+
+    "q6_filter" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_discount AS DECIMAL(5,2))) AS DECIMAL(18,4)) AS disc_revenue,
+         count(*) AS n
+         FROM lineitem WHERE l_quantity < 24 AND l_discount >= 0.05""",
+
+    "q7_window" ->
+      """SELECT o_custkey, o_orderkey, rn, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+               FROM orders) WHERE rn <= 3""",
+
+    "q8_setops" ->
+      """SELECT count(*) AS n_both, min(c_custkey) AS min_key, max(c_custkey) AS max_key
+         FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+               INTERSECT
+               SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000)""",
+
+    "q9_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY 1""",
+
+    "q10_scalar" ->
+      """SELECT p_partkey, upper(substring(p_name, 1, 8)) AS name_prefix,
+         length(p_type) AS type_len,
+         CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents,
+         p_partkey % 7 AS key_mod,
+         concat_ws('#', p_brand, CAST(p_size AS VARCHAR)) AS brand_size
+         FROM part""",
+
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q12_events_windowed" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         FROM events GROUP BY 1, 2""",
+
+    "q13_json" ->
+      """SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k
+         FROM (SELECT CAST(replace(replace(props, '{"k": ', ''), '}', '') AS BIGINT) AS k
+               FROM events) GROUP BY 1""",
+
+    "cdc_lww_dedup" ->
+      """SELECT l_orderkey, last_part, last_line, last_qty FROM (
+           SELECT l_orderkey, l_partkey AS last_part, l_linenumber AS last_line,
+             CAST(l_quantity AS DECIMAL(18,2)) AS last_qty,
+             row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC, l_quantity DESC) AS rn
+           FROM lineitem) WHERE rn = 1""",
+
+    "cdc_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS base_price
+                       FROM orders WHERE o_orderkey % 3 <> 0),
+            updates AS (SELECT o_orderkey,
+                          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS upd_price
+                        FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT o_orderkey, COALESCE(upd_price, base_price) AS final_price,
+           CASE WHEN upd_price IS NOT NULL AND base_price IS NOT NULL THEN 'updated'
+                WHEN upd_price IS NOT NULL THEN 'inserted' ELSE 'kept' END AS merge_op
+         FROM base FULL OUTER JOIN updates USING (o_orderkey)""",
+
+    "cdc_delete_apply" ->
+      """SELECT c_mktsegment, count(*) AS n, max(c_custkey) AS max_key
+         FROM customer WHERE c_custkey % 7 <> 0 GROUP BY 1""",
+
+    "cdc_snapshot_chunks" ->
+      """SELECT chunk, count(*) AS n, min(o_orderkey) AS from_key, max(o_orderkey) AS to_key
+         FROM (SELECT o_orderkey, ntile(16) OVER (ORDER BY o_orderkey) AS chunk FROM orders)
+         GROUP BY 1""",
+
+    "cdc_stop_position" ->
+      """WITH stops AS (SELECT event_type, max(event_id) AS stop_id
+                        FROM events WHERE value < 50 GROUP BY 1)
+         SELECT e.event_type, count(*) AS n_synced, max(e.event_id) AS last_id
+         FROM events e JOIN stops s
+           ON e.event_type = s.event_type AND e.event_id <= s.stop_id
+         GROUP BY 1""",
+
+    "norm_enum" ->
+      """SELECT * FROM (VALUES ('0',''),('1','active'),('2','inactive'),('3','archived'),
+         ('9',''),('active','active'),('x','x')) AS t(v, label)""",
+
+    "norm_set" ->
+      """SELECT * FROM (VALUES ('0',''),('1','San Francisco'),('3','San Francisco,New York'),
+         ('24','San Jose,Oakland'),
+         ('31','San Francisco,New York,London,San Jose,Oakland'),
+         ('London','London'),('x','x')) AS t(v, labels)""",
+
+    "norm_tinyint" ->
+      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), false),(1,true),(2,true),(-1,true)) AS t(v, b)""",
+
+    "norm_datetime" ->
+      """SELECT * FROM (VALUES
+         ('2021-03-04 05:06:07','2021-03-04T05:06:07.000000','2021-03-04'),
+         ('0000-00-00 00:00:00','1970-01-01T00:00:00.000000','1970-01-01'),
+         ('1999-12-31 23:59:59','1999-12-31T23:59:59.000000','1999-12-31')) AS t(v, iso, d)""",
+
+    "norm_decimal" ->
+      """SELECT * FROM (VALUES ('.33','0.33'),('-.77','-0.77'),('0.5','0.5'),
+         ('12.34','12.34'),('-0.1','-0.1')) AS t(v, fixed)""",
+
+    "gtid_order" ->
+      """SELECT * FROM (VALUES (1,true,false),(2,false,false),(3,true,false),
+         (4,false,true),(5,false,true),(6,false,false)) AS t(case_id, x_after_y, x_eq_y)""",
+
+    "catalog_gc_filter" ->
+      """SELECT * FROM (VALUES ('users'),('orders'),('products')) AS t(table_name)""",
+
+    "shard_enum" ->
+      """SELECT * FROM (VALUES ('-20',true),('20-40',false),('40-60',false),('60-80',true),
+         ('80-a0',false),('a0-c0',false),('c0-e0',false),('e0-',true)) AS t(shard, selected)""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
+         FROM documents GROUP BY 1""",
+
+    "text_tokens" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tokens,
+         length(text) AS chars
+         FROM documents""",
+
+    "text_quality" ->
+      """SELECT doc_id, alpha_pm, space_pm,
+         ((alpha_pm*4 + tok_ok*3 + space_ok*3) // 10) AS quality FROM (
+           SELECT doc_id, alpha_pm, space_pm,
+             CASE WHEN tokens > 0 AND ((nonspace*1000) // tokens) BETWEEN 3000 AND 12000
+                  THEN 1000 ELSE 0 END AS tok_ok,
+             CASE WHEN space_pm BETWEEN 50 AND 400 THEN 1000 ELSE 0 END AS space_ok
+           FROM (SELECT doc_id,
+             CASE WHEN length(text)=0 THEN 0
+                  ELSE (length(regexp_replace(text,'[^A-Za-z]','','g'))*1000) // length(text) END AS alpha_pm,
+             CASE WHEN length(text)=0 THEN 0
+                  ELSE (length(regexp_replace(text,'[^ ]','','g'))*1000) // length(text) END AS space_pm,
+             length(regexp_replace(text,'\s+','','g')) AS nonspace,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS tokens
+           FROM documents))""",
+
+    "text_langid" -> langCase,
+
+    "sim_knn_cosine" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         WHERE rank <= 5""",
+
+    "multimodal_features" ->
+      """SELECT doc_id, n_bytes, 64 + (n_bytes % 64) * 4 AS width,
+         ((64 + (n_bytes % 64) * 4) * 3) // 4 AS height,
+         CASE n_bytes % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+         FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)"""
+  )
+}

@@ -1,13 +1,467 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.apply.CdcApply
+import graft.core.{ChangeEvent, VGtid}
+import graft.functions.{Normalize => N, TextFunctions => T, VectorFunctions => V}
+import graft.genlog.{ChangelogGen, GenConfig}
+import graft.laketable.LakeTable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2 (the
+  * CDC dataflow operators re-expressed Spark-first, the relational-category
+  * coverage, and the training-data pipeline ops), each with a DuckDB oracle
+  * where ANSI SQL can express it (`oracleSql`); engine-internal operators
+  * (DSv2 source, lake-table merge, MinHash/SimHash) are exercised as
+  * rows-checked queries plus ScalaTest suites.
+  *
+  * Determinism discipline for oracle parity: aggregates over doubles are cast
+  * to DECIMAL before summing (exact, order-independent); ratio features use
+  * integer division; ranks break ties on unique keys.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column, p: Int = 18, sc: Int = 2): Column = c.cast(s"decimal($p,$sc)")
+
+  // --------------------------------------------------------------------- //
+  // Flagship: the CDC engine end-to-end at sf-tiny — generate a sharded
+  // changelog, LWW-merge it into a lake table, aggregate the final state.
+  // --------------------------------------------------------------------- //
+  def entry(spark: SparkSession): DataFrame = {
+    val c = GenConfig(numEvents = 5000L, numShards = 2, numRepos = 20, pathsPerRepo = 10,
+      copyRows = 200L)
+    val root = java.nio.file.Files.createTempDirectory("graft-entry").toString + "/t"
+    val table = new LakeTable(root, spark)
+    table.create(ChangeEvent.rowSchema, numBuckets = 4)
+    CdcApply.replayAll(table, ChangelogGen.fullStream(spark, c), Map.empty)
+    table.read().groupBy(col("repo"))
+      .agg(count(lit(1)).as("n_files"), sum(length(col("content"))).as("n_bytes"))
+  }
+
+  // --------------------------------------------------------------------- //
+  // Relational coverage (TPC-H-ish over driver testdata)
+  // --------------------------------------------------------------------- //
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_price"),
+        count(lit(1)).as("n"))
+
+  private def q2JoinRegions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  private def q3TopRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(5,2)") - dec(col("l_discount"), 5, 2)))
+        .cast("decimal(18,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  private def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem").select(col("l_orderkey")).distinct()
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+  }
+
+  private def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select(col("o_custkey")).distinct()
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+  }
+
+  private def q6Filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") < 24 && col("l_discount") >= 0.05)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"), 5, 2))
+        .cast("decimal(18,4)").as("disc_revenue"),
+        count(lit(1)).as("n"))
+
+  private def q7Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        dec(col("o_totalprice")).as("price"))
+  }
+
+  private def q8SetOps(s: SparkSession, dir: String): DataFrame = {
+    val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bigSpenders = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    building.intersect(bigSpenders).unionByName(
+      building.exceptAll(building) // empty, keeps EXCEPT in the plan shape
+    ).agg(count(lit(1)).as("n_both"), min(col("c_custkey")).as("min_key"),
+      max(col("c_custkey")).as("max_key"))
+  }
+
+  private def q9Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+
+  private def q10Scalar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_type")).as("type_len"),
+        (dec(col("p_retailprice"), 12, 2) * 100).cast("long").as("price_cents"),
+        pmod(col("p_partkey"), lit(7)).as("key_mod"),
+        concat_ws("#", col("p_brand"), col("p_size").cast("string")).as("brand_size"))
+
+  private def q11Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("qty"))
+
+  private def q12EventsWindowed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("decimal(18,2)").as("total"))
+
+  private def q13Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  // --------------------------------------------------------------------- //
+  // CDC dataflow operators re-expressed over the testdata (SQL-checkable)
+  // --------------------------------------------------------------------- //
+
+  /** A4+north-star LWW window dedup: last lineitem per order by
+    * (l_shipdate, l_linenumber) — the (vgtid, event_seq) window shape.
+    */
+  private def cdcLwwDedup(s: SparkSession, dir: String): DataFrame = {
+    // total order: linenumber is not unique within an order in this data, so
+    // every output column joins the tie-break (deterministic LWW pick)
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_shipdate").desc, col("l_linenumber").desc,
+        col("l_partkey").desc, col("l_quantity").desc)
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_partkey").as("last_part"),
+        col("l_linenumber").as("last_line"), dec(col("l_quantity")).as("last_qty"))
+  }
+
+  /** A15/merge: upsert semantics via full-outer join (MERGE INTO shape). */
+  private def cdcMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("base_price"))
+    val updates = t(s, dir, "orders").filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), (dec(col("o_totalprice")) * 2).cast("decimal(18,2)").as("upd_price"))
+    base.join(updates, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("upd_price"), col("base_price")).as("final_price"),
+        when(col("upd_price").isNotNull && col("base_price").isNotNull, "updated")
+          .when(col("upd_price").isNotNull, "inserted").otherwise("kept").as("merge_op"))
+  }
+
+  /** A7-extension: delete application via anti join. */
+  private def cdcDeleteApply(s: SparkSession, dir: String): DataFrame = {
+    val target = t(s, dir, "customer")
+    val deletes = target.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select(col("c_custkey"))
+    target.join(deletes, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), max(col("c_custkey")).as("max_key"))
+  }
+
+  /** A6 snapshot chunking: PK-range chunks (repartitionByRange analogue,
+    * expressed as ntile so the oracle can check the boundaries).
+    */
+  private def cdcSnapshotChunks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("chunk", ntile(16).over(Window.orderBy(col("o_orderkey"))))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("from_key"),
+        max(col("o_orderkey")).as("to_key"))
+
+  /** A4 stop-position fence: per stream (event_type), a stop offset is peeked
+    * (max event_id with value < 50); only events at-or-before it are synced.
+    */
+  private def cdcStopPosition(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val stops = ev.filter(col("value") < 50)
+      .groupBy(col("event_type")).agg(max(col("event_id")).as("stop_id"))
+    ev.join(broadcast(stops), Seq("event_type"))
+      .filter(col("event_id") <= col("stop_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_synced"), max(col("event_id")).as("last_id"))
+  }
+
+  // --------------------------------------------------------------------- //
+  // Value normalization (§1.3) — reference-derived VALUES vectors
+  // --------------------------------------------------------------------- //
+
+  private val enumLabels = Seq("active", "inactive", "archived")
+  private val setLabels = Seq("San Francisco", "New York", "London", "San Jose", "Oakland")
+
+  private def normEnum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq("0", "1", "2", "3", "9", "active", "x").toDF("v")
+      .select(col("v"), N.mysqlEnum(col("v"), enumLabels).as("label"))
+  }
+
+  private def normSet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq("0", "1", "3", "24", "31", "London", "x").toDF("v")
+      .select(col("v"), N.mysqlSet(col("v"), setLabels).as("labels"))
+  }
+
+  private def normTinyint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(0L, 1L, 2L, -1L).toDF("v")
+      .select(col("v"), N.tinyintBool(col("v")).as("b"))
+  }
+
+  private def normDatetime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq("2021-03-04 05:06:07", "0000-00-00 00:00:00", "1999-12-31 23:59:59")
+      .toDF("v")
+      .select(col("v"), N.isoDatetime(col("v")).as("iso"),
+        N.isoDate(substring(col("v"), 1, 10)).as("d"))
+  }
+
+  private def normDecimal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(".33", "-.77", "0.5", "12.34", "-0.1").toDF("v")
+      .select(col("v"), N.decimalFix(col("v")).as("fixed"))
+  }
+
+  /** A5: GTID-set containment order — multi-UUID vectors, NOT lexicographic. */
+  private def gtidOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = "0d5afdd6-54a0-11eb-936d-0a8939501751"
+    val b = "e1e896df-54a0-11eb-a26c-0e8d6a9fbf6f"
+    val after = udf((x: String, y: String) => VGtid.parse(x).after(VGtid.parse(y)))
+    val eq = udf((x: String, y: String) => VGtid.parse(x).positionEqual(VGtid.parse(y)))
+    Seq(
+      (1, s"MySQL56/$a:1-9,$b:1-3", s"MySQL56/$a:1-5"),
+      (2, s"MySQL56/$a:1-5", s"MySQL56/$a:1-9,$b:1-3"),
+      (3, s"MySQL56/$a:1-10", s"MySQL56/$a:1-5"),
+      (4, s"MySQL56/$a:1-3:4-6", s"MySQL56/$a:1-6"),
+      (5, s"MySQL56/$b:1-3,$a:1-2", s"MySQL56/$a:1-2,$b:1-3"),
+      (6, "", s"MySQL56/$a:1-2")
+    ).toDF("case_id", "x", "y")
+      .select(col("case_id"), after(col("x"), col("y")).as("x_after_y"),
+        eq(col("x"), col("y")).as("x_eq_y"))
+  }
+
+  /** A9: Vitess GC/vrepl internal-table filter at discovery. */
+  private def catalogGcFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq("users", "_vt_HOLD_6ace8bcef73211ea87e9f875a4d24e90_20200915120410",
+      "orders", "_vt_PURGE_abc", "_4e5dcf80_354b_11eb_82cd_f875a4d24e90_20201204114014_gho",
+      "products", "_vt_EVAC_x", "_aa1b2c3d_0000_11eb_0000_000000000000_vrepl")
+      .toDF("table_name")
+      .filter(!N.isInternalTable(col("table_name")))
+      .select(col("table_name"))
+  }
+
+  /** A12/A13: shard enumeration + configured-subset validation. */
+  private def shardEnum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val live = ChangelogGen.shardNames(8)
+    val configured = Set(live(0), live(3), live(7))
+    live.toDF("shard")
+      .select(col("shard"), col("shard").isin(configured.toSeq: _*).as("selected"))
+  }
+
+  // --------------------------------------------------------------------- //
+  // Training-data pipeline ops (documents / embeddings)
+  // --------------------------------------------------------------------- //
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), T.tokenCount(col("text")).as("tokens"),
+        length(col("text")).as("chars"))
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        T.permille(T.alphaCount(col("text")), length(col("text"))).as("alpha_pm"),
+        T.permille(T.spaceCount(col("text")), length(col("text"))).as("space_pm"),
+        T.qualityScore(col("text")).as("quality"))
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), T.langId(col("text")).as("predicted"))
+
+  /** Rolling-hash fingerprint + simhash (custom Catalyst expressions). */
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), T.fingerprint(col("text"), 16).as("fp"),
+        T.simhash64(split(trim(col("text")), "\\s+")).as("simhash"))
+
+  /** Planted near-duplicate corpus: each document + a copy with the last two
+    * words dropped (deterministic) — MinHash/SimHash/Jaccard must recover the
+    * planted pairs at scale without an O(n²) compare.
+    */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), lit(1),
+        greatest(size(split(trim(col("text")), "\\s+")) - 2, lit(1)))).as("text"))
+    docs.unionByName(mutated)
+  }
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = plantedDocs(s, dir)
+      .withColumn("sh", T.shingles(col("text"), 5))
+      .withColumn("sig", T.minhashSignature(col("sh"), 16))
+      .withColumn("band", explode(T.lshBandKeys(col("sig"), 4, 4)))
+      .select(col("doc_id"), col("text"), col("sh"), col("band"))
+    val a = sig.select(col("band"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sig.select(col("band"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("band")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), T.jaccardPermille(col("a_sh"), col("b_sh")).as("jacc_pm"))
+      .distinct()
+      .filter(col("jacc_pm") >= 600)
+  }
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = plantedDocs(s, dir)
+      .withColumn("sim", T.simhash64(split(trim(col("text")), "\\s+")))
+    // band join: 4 chunks of 16 bits; hamming<=3 pairs share >=1 equal chunk
+    val banded = docs.withColumn("chunk", explode(array((0 until 4).map(i =>
+      struct(lit(i).as("i"), shiftrightunsigned(col("sim"), i * 16)
+        .bitwiseAND(lit(0xffffL)).as("v"))): _*)))
+    val a = banded.select(col("chunk"), col("doc_id").as("a_id"), col("sim").as("a_sim"))
+    val b = banded.select(col("chunk"), col("doc_id").as("b_id"), col("sim").as("b_sim"))
+    a.join(b, Seq("chunk")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        T.hamming64(col("a_sim"), col("b_sim")).as("hamming")).distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // exact n-gram Jaccard on planted pairs (a_id + 1000000 = b_id)
+    val docs = plantedDocs(s, dir).withColumn("sh", T.shingles(col("text"), 5))
+    val a = docs.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("a_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("a_id"))
+      .select(col("a_id"), T.jaccardPermille(col("a_sh"), col("b_sh")).as("jacc_pm"))
+  }
+
+  private def simKnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    V.bruteForceTopK(emb.filter(col("id") < 8), emb, 5)
+  }
+
+  private def simKnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    V.lshTopK(emb.filter(col("id") < 8), emb, 5, dim = 64, bits = 4)
+  }
+
+  /** Multimodal plumbing: text → binary payload → partition-wise "decode"
+    * (stub: the container has no image/audio codecs; the decode is a
+    * deterministic arithmetic fake, the binary column + typed mapPartitions
+    * batch shape is real).
+    */
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payload = t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payload.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // STUB decoder: real codecs absent; shape = (id, n_bytes, w, h, fmt)
+        val n = bytes.length.toLong
+        val w = 64L + (n % 64L) * 4L
+        val h = (w * 3L) / 4L
+        val fmt = (n % 3L) match { case 0L => "jpeg"; case 1L => "png"; case _ => "webp" }
+        (id, n, w, h, fmt)
+      }
+    }.toDF("doc_id", "n_bytes", "width", "height", "format")
+  }
+
+  /** The engine itself as a query: replay a 2-shard changelog through the
+    * lake table and emit the final state digests (rows-only check; full
+    * parity is asserted in ScalaTest + DriveReplay).
+    */
+  private def cdcReplayFinalState(s: SparkSession, dir: String): DataFrame = {
+    val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
+    val root = java.nio.file.Files.createTempDirectory("graft-q").toString + "/t"
+    val table = new LakeTable(root, s)
+    table.create(ChangeEvent.rowSchema, numBuckets = 4)
+    CdcApply.replayAll(table, ChangelogGen.fullStream(s, c), Map.empty)
+    table.read().select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+  }
+
+  // --------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q2_join_regions" -> q2JoinRegions,
+    "q3_top_revenue" -> q3TopRevenue,
+    "q4_semi_join" -> q4SemiJoin,
+    "q5_anti_join" -> q5AntiJoin,
+    "q6_filter" -> q6Filter,
+    "q7_window" -> q7Window,
+    "q8_setops" -> q8SetOps,
+    "q9_distinct" -> q9Distinct,
+    "q10_scalar" -> q10Scalar,
+    "q11_rollup" -> q11Rollup,
+    "q12_events_windowed" -> q12EventsWindowed,
+    "q13_json" -> q13Json,
+    "cdc_lww_dedup" -> cdcLwwDedup,
+    "cdc_merge_upsert" -> cdcMergeUpsert,
+    "cdc_delete_apply" -> cdcDeleteApply,
+    "cdc_snapshot_chunks" -> cdcSnapshotChunks,
+    "cdc_stop_position" -> cdcStopPosition,
+    "cdc_replay_final_state" -> cdcReplayFinalState,
+    "norm_enum" -> normEnum,
+    "norm_set" -> normSet,
+    "norm_tinyint" -> normTinyint,
+    "norm_datetime" -> normDatetime,
+    "norm_decimal" -> normDecimal,
+    "gtid_order" -> gtidOrder,
+    "catalog_gc_filter" -> catalogGcFilter,
+    "shard_enum" -> shardEnum,
+    "dedup_exact" -> dedupExact,
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "sim_knn_cosine" -> simKnnCosine,
+    "sim_knn_lsh" -> simKnnLsh,
+    "multimodal_features" -> multimodalFeatures
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,120 @@
+package graft.functions
+
+import graft.genlog.EventGen.mix64
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType, StringType, ArrayType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SimHash-64 of a token array: bit j of the result is the sign of the sum of
+  * ±1 votes from bit j of each token's 64-bit hash. One pass over the tokens,
+  * 64 int counters — a custom Catalyst expression because per-bit shifts by a
+  * column index aren't expressible with built-in functions without 64
+  * aggregate passes. Codegen emits a static call (stays in WholeStageCodegen).
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+    }
+  }
+  override def nullSafeEval(v: Any): Any =
+    SimHash64Expr.simhashArray(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64Expr.simhashArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object SimHash64Expr {
+  /** Deterministic 64-bit token hash (splitmix64 over a simple byte fold). */
+  def tokenHash(s: UTF8String): Long = {
+    val b = s.getBytes
+    var h = 0x517cc1b727220a95L
+    var i = 0
+    while (i < b.length) { h = mix64(h ^ (b(i) & 0xffL)); i += 1 }
+    h
+  }
+
+  def simhashArray(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = tokenHash(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))
+}
+
+/** Winnowing-style rolling-hash fingerprint: the min polynomial hash over all
+  * `window`-char substrings (Karp–Rabin rolling update, O(n) per document).
+  * Used for cheap document identity across whitespace-preserving edits.
+  */
+case class FingerprintExpr(child: Expression, window: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    FingerprintExpr.rollingMin(v.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FingerprintExpr.rollingMin($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+    copy(child = newChild)
+}
+
+object FingerprintExpr {
+  private val B = 1000003L          // polynomial base
+  private val M = (1L << 61) - 1    // Mersenne prime modulus
+
+  private def mulmod(a: Long, b: Long): Long = {
+    // 61-bit modular multiply via Math.multiplyHigh (JDK9+)
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold 128-bit product mod 2^61-1
+    val r = (lo & M) + ((lo >>> 61) | (hi << 3))
+    if (r >= M) r - M else r
+  }
+
+  def rollingMin(s: UTF8String, window: Int): Long = {
+    val b = s.getBytes
+    val n = b.length
+    if (n == 0) return 0L
+    val w = math.min(window, n)
+    // precompute B^(w-1) mod M
+    var bw = 1L
+    var k = 1
+    while (k < w) { bw = mulmod(bw, B); k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (mulmod(h, B) + (b(i) & 0xffL)) % M; i += 1 }
+    var min = h
+    while (i < n) {
+      h = (h + M - mulmod(b(i - w) & 0xffL, bw)) % M
+      h = (mulmod(h, B) + (b(i) & 0xffL)) % M
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  def fingerprint(text: Column, window: Int): Column =
+    GraftBridge.column(FingerprintExpr(GraftBridge.expression(text), window))
+}

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup primitives for the training-data pipeline surface:
+  * token counting, quality scoring, language-ID heuristic, shingling,
+  * MinHash signatures, SimHash. Everything here is built from codegen'd
+  * `functions._` (no Scala closures in the hot path), designed so each stage
+  * is a narrow projection that Catalyst can pipeline inside one
+  * WholeStageCodegen span over a parquet scan.
+  *
+  * Integer arithmetic (`div`) is used for ratio features so results are
+  * bit-stable across engines (DuckDB oracle parity) and partitionings.
+  */
+object TextFunctions {
+
+  /** Whitespace token count; empty/blank → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** Occurrences of a literal substring (exact integer math in any engine). */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length).cast("long")
+
+  /** Per-mille (0–1000) ratio helpers — integer division, bit-stable. */
+  def permille(part: Column, whole: Column): Column =
+    when(whole === 0, lit(0L)).otherwise(floor((part * 1000L) / whole).cast("long"))
+
+  def alphaCount(text: Column): Column = length(regexp_replace(text, "[^A-Za-z]", ""))
+  def digitCount(text: Column): Column = length(regexp_replace(text, "[^0-9]", ""))
+  def spaceCount(text: Column): Column = length(regexp_replace(text, "[^ ]", ""))
+
+  /** Composite quality score in [0,1000]: alpha density + token-length sanity
+    * + non-degenerate whitespace. Heuristic shape follows public quality
+    * filters (C4/Gopher-style length & symbol ratios).
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val alphaPm = permille(alphaCount(text), len)
+    val tokens = tokenCount(text)
+    val meanTokLenPm = when(tokens === 0, lit(0L))
+      .otherwise(floor((length(regexp_replace(text, "\\s+", "")) * 1000L) / tokens).cast("long"))
+    // mean token length in [3,12] chars is "natural"; permille-scaled band
+    val tokOk = when(meanTokLenPm.between(3000L, 12000L), lit(1000L)).otherwise(lit(0L))
+    val spacePm = permille(spaceCount(text), len)
+    val spaceOk = when(spacePm.between(50L, 400L), lit(1000L)).otherwise(lit(0L))
+    floor((alphaPm * 4 + tokOk * 3 + spaceOk * 3) / 10).cast("long")
+  }
+
+  /** n-gram language-ID heuristic: stopword-marker hit counts per language,
+    * argmax with deterministic alphabetical tie-break. Markers are scored on
+    * the space-padded text so word boundaries match at string edges.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die ", " nicht "),
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "es" -> Seq(" el ", " que ", " los ", " una "),
+    "fr" -> Seq(" le ", " la ", " et ", " les "),
+    "zh" -> Seq(" de5 ", " shi4 ", " le5 ", " bu4 "))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), text, lit(" "))
+    langMarkers.map { case (lang, kws) =>
+      lang -> kws.map(occurrences(padded, _)).reduce(_ + _)
+    }
+  }
+
+  /** Predicted language: argmax of marker scores; ties break alphabetically
+    * (languages evaluated in sorted order, >= keeps the earlier one).
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text) // already alphabetical
+    // fold: replace only on strict improvement → earlier (alphabetical) wins ties
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }._1
+  }
+
+  /** Character k-shingles of the text (codegen'd: sequence + substr). */
+  def shingles(text: Column, k: Int): Column =
+    when(length(text) < k, array(substring(text, 1, k)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => substr(text, i, lit(k)))))
+
+  /** MinHash signature: for each of `h` hash families, the min xxhash64 over
+    * the shingle set (salted per family). One projection, fully codegen'd.
+    */
+  def minhashSignature(shingleArr: Column, h: Int): Column =
+    transform(sequence(lit(1), lit(h)), i =>
+      array_min(transform(shingleArr, s => xxhash64(s, i))))
+
+  /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band → candidate-bucket keys (join on any equal band).
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(concat_ws("_", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b))
+
+  /** Exact Jaccard similarity (per-mille, integer-stable) of two shingle sets. */
+  def jaccardPermille(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    val uni = size(array_union(a, b)).cast("long")
+    when(uni === 0, lit(0L)).otherwise(floor((inter * 1000L) / uni).cast("long"))
+  }
+
+  /** SimHash-64 over the token array — custom Catalyst expression (one pass,
+    * 64 vote counters; see [[SimHash64Expr]]).
+    */
+  def simhash64(tokens: Column): Column = SimHash64Expr.simhash64(tokens)
+
+  /** Rolling-hash document fingerprint (see [[FingerprintExpr]]). */
+  def fingerprint(text: Column, window: Int = 16): Column =
+    FingerprintExpr.fingerprint(text, window)
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

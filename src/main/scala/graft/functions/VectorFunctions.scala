@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity primitives: cosine via codegen'd array folds, exact
+  * brute-force top-k as the correctness baseline, and an LSH-bucketed
+  * approximate variant as the scale path (candidates only join within a
+  * hyperplane-sign bucket, so the cross product never materializes).
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query set against
+    * the corpus; rank per query. The baseline every ANN variant is scored
+    * against. `queries`/`corpus` need (id long, vec array<float/double>).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Random-hyperplane sign bucket (SimHash-for-vectors): `bits` pseudo-random
+    * hyperplanes, deterministic from `seed`; vectors agreeing on every sign
+    * land in one bucket. At scale the corpus is bucketed once (and could be
+    * written bucket-partitioned); queries probe only their own bucket —
+    * a ~2^bits-fold join reduction instead of a full cross product.
+    */
+  def signBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val buckets = (0 until bits).map { b =>
+      // pseudo-random ±1 hyperplane from a hash of (seed, bit, dim index)
+      val proj = aggregate(
+        zip_with(vec, transform(sequence(lit(0), lit(dim - 1)), i =>
+          when(pmod(xxhash64(i, lit(seed), lit(b)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+          (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    buckets.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: join queries to corpus within the same
+    * sign bucket only, then rank. Recall < 1 by construction; verified
+    * against [[bruteForceTopK]] in tests.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      bits: Int = 8, seed: Long = 7L): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      signBucket(col("vec"), dim, bits, seed).as("bucket"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      signBucket(col("vec"), dim, bits, seed).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}
