@@ -1,24 +1,79 @@
 package graft
+
+import graft.apply.CdcApply
+import graft.core.ChangeEvent
+import graft.genlog.{ChangelogGen, EventGen, GenConfig}
+import graft.laketable.LakeTable
 import org.apache.spark.sql.SparkSession
+
+/** Driver-contract benchmark: runs the headline CDC-replay throughput
+  * measurement plus every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR`, printing ONE JSON line.
+  *
+  * The headline metric (BASELINE.json) is end-to-end CDC apply throughput:
+  * a deterministic sharded changelog (copy phase + catch-up) replayed through
+  * LWW dedup + bucketed MERGE into the lake table. Events scale with the sf
+  * dir so the benchmark grows with the data tier.
+  */
 object Bench {
+
+  def benchGen(sfDir: String): GenConfig = {
+    val events =
+      sys.env.get("SPARK_GRAFT_BENCH_EVENTS").map(_.toLong).getOrElse {
+        if (sfDir.contains("sf0.1")) 2000000L
+        else if (sfDir.contains("sf0.01")) 400000L
+        else 50000L
+      }
+    GenConfig(numEvents = events, numShards = 16, numRepos = 2000, pathsPerRepo = 100,
+      copyRows = events / 10, zipfSkew = 2.0, contentBlocks = 4)
+  }
+
+  def runCdcReplay(spark: SparkSession, c: GenConfig): (Long, Double) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench").toString + "/t"
+    val table = new LakeTable(root, spark)
+    table.create(ChangeEvent.rowSchema, numBuckets = 64)
+    val totalEvents = c.numEvents + (0 until c.numShards).map(i =>
+      EventGen.copyPerShard(c)).sum
+    val t0 = System.nanoTime()
+    CdcApply.replayAll(table, ChangelogGen.fullStream(spark, c), Map.empty)
+    val secs = (System.nanoTime() - t0) / 1e9
+    table.drop()
+    (totalEvents, secs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "128m")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // headline: CDC apply throughput (tiny warm-up first — JIT/codegen)
+    val gen = benchGen(sfDir)
+    runCdcReplay(spark, gen.copy(numEvents = 50000L, copyRows = 5000L))
+    val (events, cdcSecs) = runCdcReplay(spark, gen)
+    val evPerSec = events / cdcSecs
+
+    // operator suite
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = (results :+ ("cdc_replay_bench" -> cdcSecs))
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + cdcSecs
+    // driver-contract shape + extra cdc throughput detail
+    println(
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cdc":{"events":$events,"seconds":$cdcSecs%.2f,"events_per_sec":$evPerSec%.0f}}""")
     spark.stop()
   }
 }

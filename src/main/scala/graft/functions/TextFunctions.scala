@@ -87,12 +87,13 @@ object TextFunctions {
         sequence(lit(1), length(text) - (k - 1)),
         i => substr(text, i, lit(k)))))
 
-  /** MinHash signature: for each of `h` hash families, the min xxhash64 over
-    * the shingle set (salted per family). One projection, fully codegen'd.
+  /** MinHash signature: `h` hash families over the shingle set. Compiled
+    * custom expression ([[MinHashExpr]]) — the HOF formulation
+    * (`transform(…, array_min(transform(…, xxhash64)))`) evaluates
+    * interpreted per element and is ~10× slower.
     */
   def minhashSignature(shingleArr: Column, h: Int): Column =
-    transform(sequence(lit(1), lit(h)), i =>
-      array_min(transform(shingleArr, s => xxhash64(s, i))))
+    MinHashExpr.minhash(shingleArr, h)
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band → candidate-bucket keys (join on any equal band).

@@ -31,11 +31,23 @@ object EventGen {
   def h01(id: Long, seed: Long, salt: Long): Double =
     (h64(id, seed, salt) >>> 11).toDouble / (1L << 53).toDouble
 
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
-    val d = MessageDigest.getInstance("SHA-256").digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   // ---- derived dimensions -------------------------------------------------
@@ -58,7 +70,11 @@ object EventGen {
     (s"src/dir${pIdx % 7}/file$pIdx.$ext", lang)
   }
 
-  def repoName(repoIdx: Int): String = f"repo-$repoIdx%04d"
+  def repoName(repoIdx: Int): String = {
+    val d = repoIdx.toString
+    if (d.length >= 4) "repo-" + d
+    else "repo-" + "0000".substring(d.length) + d
+  }
 
   def reposPerShard(c: GenConfig): Int = math.max(1, c.numRepos / c.numShards)
 

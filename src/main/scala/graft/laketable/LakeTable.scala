@@ -171,6 +171,59 @@ final class LakeTable(val root: String, spark: SparkSession) {
     entries
   }
 
+  /** Stage a deduped batch: rows carry `_kind` ('u' upsert / 'd' delete-key)
+    * and `_bucket`; written as one parquet job partitioned by both. Upsert
+    * files are later *adopted* as final data files without a rewrite (the
+    * heavy content bytes are written exactly once per batch); delete/upsert
+    * keys drive the pruning rewrite of existing files.
+    */
+  private[graft] def stageWrite(df: DataFrame): Path = {
+    val stage = new Path(root, s"stage-${UUID.randomUUID()}")
+    df.write.partitionBy("_kind", "_bucket").parquet(stage.toString)
+    stage
+  }
+
+  /** Parquet-footer row count of one staged kind (no data scan). */
+  private[graft] def stagedCount(spark2: SparkSession, stage: Path, kind: String): Long = {
+    val p = new Path(stage, s"_kind=$kind")
+    if (!fs.exists(p)) 0L
+    else spark2.read.parquet(p.toString).count()
+  }
+
+  /** Keys (repo, path) present in the staged batch — column-pruned read. */
+  private[graft] def stagedKeys(spark2: SparkSession, stage: Path): DataFrame =
+    spark2.read.option("basePath", stage.toString).parquet(stage.toString)
+      .select(col("repo"), col("path"))
+
+  /** Adopt staged upsert files as final data files (move, no rewrite). */
+  private[graft] def adoptStagedUpserts(stage: Path, schemaVersion: Int): Seq[DataFileEntry] = {
+    val f = fs
+    val uDir = new Path(stage, "_kind=u")
+    if (!f.exists(uDir)) Nil
+    else f.listStatus(uDir).toSeq.filter(_.isDirectory).flatMap { dir =>
+      val bucket = dir.getPath.getName.stripPrefix("_bucket=").toInt
+      f.listStatus(dir.getPath).toSeq.filter(_.getPath.getName.endsWith(".parquet")).map { st =>
+        val name = s"${UUID.randomUUID()}.parquet"
+        if (!f.rename(st.getPath, new Path(dataDir, name)))
+          throw new IllegalStateException(s"failed to adopt ${st.getPath}")
+        DataFileEntry(s"data/$name", bucket, -1L, schemaVersion)
+      }
+    }
+  }
+
+  /** Buckets present in the staged batch (from the directory layout). */
+  private[graft] def stagedBuckets(stage: Path): Set[Int] = {
+    val f = fs
+    Seq("u", "d").flatMap { kind =>
+      val p = new Path(stage, s"_kind=$kind")
+      if (!f.exists(p)) Nil
+      else f.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("_bucket=").toInt)
+    }.toSet
+  }
+
+  private[graft] def dropStage(stage: Path): Unit = fs.delete(stage, true)
+
   /** Commit a new snapshot replacing all files in `replacedBuckets` with
     * `newFiles`, merging `summaryUpdates` into the previous summary.
     * Single-writer (the streaming driver); the version-hint swap is atomic.
