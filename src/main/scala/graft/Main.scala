@@ -1,0 +1,121 @@
+package graft
+
+import graft.core.{ChangeEvent, SyncState}
+import graft.genlog.{ChangelogGen, GenConfig}
+import graft.laketable.LakeTable
+import graft.streaming.CdcStream
+import org.apache.spark.sql.SparkSession
+
+/** `spark-submit` entry point with the reference's four verbs
+  * (`cmd/airbyte-source/root.go:11-24`, README.md:31-37), re-shaped for a
+  * lake-table engine:
+  *
+  *   spec                         — print the option spec (JSON)
+  *   check    --table <root>      — validate table/source reachability
+  *   discover --table <root>      — print the catalog (schema + shards)
+  *   read     --table <root> --checkpoint <dir> [genlog options…]
+  *                                — run one AvailableNow ingest pass
+  *
+  * Options are `--key value` pairs; genlog options: --events --shards
+  * --repos --paths --copyRows --seed --maxPerTrigger --parity.
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): (String, Map[String, String]) = {
+    require(args.nonEmpty, "usage: graft.Main <spec|check|discover|read> [--key value…]")
+    val verb = args.head
+    val opts = args.tail.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+    (verb, opts)
+  }
+
+  /** Under spark-submit the master comes from the launcher; standalone runs
+    * (sbt runMain, plain java) fall back to local[*].
+    */
+  private def session(): SparkSession = {
+    val b = SparkSession.builder()
+      .appName("graft-cdc")
+      .config("spark.sql.session.timeZone", "UTC")
+    val withMaster =
+      if (sys.props.contains("spark.master") || sys.env.contains("MASTER")) b
+      else b.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
+    withMaster.getOrCreate()
+  }
+
+  private def genConfig(o: Map[String, String]): GenConfig = GenConfig(
+    seed = o.getOrElse("seed", "42").toLong,
+    numEvents = o.getOrElse("events", "100000").toLong,
+    numShards = o.getOrElse("shards", "4").toInt,
+    numRepos = o.getOrElse("repos", "100").toInt,
+    pathsPerRepo = o.getOrElse("paths", "50").toInt,
+    copyRows = o.getOrElse("copyRows", "0").toLong)
+
+  def main(args: Array[String]): Unit = {
+    val (verb, o) = parseArgs(args)
+    verb match {
+      case "spec" =>
+        println(
+          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"}}}}""")
+
+      case "check" =>
+        val spark = session()
+        try {
+          val root = o.getOrElse("table", sys.error("--table required"))
+          val t = new LakeTable(root, spark)
+          val status = t.currentVersion match {
+            case Some(v) => s"""{"status":"SUCCEEDED","table":"$root","version":$v}"""
+            case None    => s"""{"status":"SUCCEEDED","table":"$root","version":null,"note":"table absent; read will create it"}"""
+          }
+          println(status)
+        } catch {
+          case e: Exception =>
+            println(s"""{"status":"FAILED","message":"${e.getMessage}"}""")
+        } finally spark.stop()
+
+      case "discover" =>
+        val spark = session()
+        try {
+          val root = o.getOrElse("table", sys.error("--table required"))
+          val t = new LakeTable(root, spark)
+          val c = genConfig(o)
+          val shards = ChangelogGen.shardNames(c.numShards).mkString("\",\"")
+          t.currentSnapshot match {
+            case Some(snap) =>
+              val fields = snap.currentSchema
+                .map(f => s"""{"id":${f.id},"name":"${f.name}","type":"${f.dataType}"}""")
+                .mkString(",")
+              val cursors = snap.summary.getOrElse("cursors", "{}")
+              println(s"""{"streams":[{"name":"repo_content","namespace":"${c.keyspace}","schema":[$fields],"primary_keys":[["repo"],["path"]],"supported_sync_modes":["full_refresh","incremental"],"shards":["$shards"],"version":${snap.version},"cursors":$cursors}]}""")
+            case None =>
+              println(s"""{"streams":[{"name":"repo_content","namespace":"${c.keyspace}","schema":null,"shards":["$shards"]}]}""")
+          }
+        } finally spark.stop()
+
+      case "read" =>
+        val spark = session()
+        try {
+          val root = o.getOrElse("table", sys.error("--table required"))
+          val cp = o.getOrElse("checkpoint", sys.error("--checkpoint required"))
+          val t = new LakeTable(root, spark)
+          if (t.currentVersion.isEmpty) t.create(ChangeEvent.rowSchema, numBuckets =
+            o.getOrElse("buckets", "64").toInt)
+          val rc = CdcStream.RunConfig(genConfig(o), root, cp,
+            maxEventsPerTrigger = o.get("maxPerTrigger").map(_.toLong),
+            parityMode = o.get("parity").exists(_.toBoolean))
+          val t0 = System.nanoTime()
+          val batches = CdcStream.runAvailableNow(spark, rc)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val rows = t.read().count()
+          val cursors = t.summaryValue("cursors").getOrElse("{}")
+          println(f"""{"type":"SYNC_SUMMARY","batches":$batches,"seconds":$secs%.1f,"table_rows":$rows,"version":${t.currentVersion.get},"state":$cursors}""")
+        } finally spark.stop()
+
+      case other =>
+        System.err.println(s"unknown verb: $other (expected spec|check|discover|read)")
+        sys.exit(2)
+    }
+  }
+}

@@ -394,7 +394,7 @@ object SparkEntry {
   private def simKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    V.lshTopK(emb.filter(col("id") < 8), emb, 5, dim = 64, bits = 4)
+    V.lshTopK(emb.filter(col("id") < 8), emb, 5, dim = 64)
   }
 
   /** Multimodal plumbing: text → binary payload → partition-wise "decode"

@@ -102,15 +102,25 @@ object CdcApply {
     // --- stage (ONE job: gen/source → LWW window → bucket shuffle → parquet).
     // Staged upsert files ARE the final data files (adopted by rename, no
     // rewrite): the heavy content bytes are written exactly once per batch.
+    // Event payloads speak the table's ORIGINAL (v0) column names; after
+    // Avro-driven renames the current snapshot may use different names —
+    // map by Iceberg-style field id (rename = metadata only), columns added
+    // since v0 fill null.
     val bucket = pmod(xxhash64(col("_repo")), lit(snap.numBuckets)).cast("int")
-    val staged = deduped.select(
-      col("_repo").as("repo"),
-      col("_path").as("path"),
-      coalesce(col("after.commit"), lit("")).as("commit"),
-      coalesce(col("after.lang"), lit("")).as("lang"),
-      coalesce(col("after.content"), lit("")).as("content"),
+    val origById = snap.schemas(0).map(f => f.id -> f.name).toMap
+    val dataCols = snap.currentSchema.map { f =>
+      origById.get(f.id) match {
+        case Some("repo") => col("_repo").as(f.name)
+        case Some("path") => col("_path").as(f.name)
+        case Some(orig)   => coalesce(col(s"after.$orig"),
+          lit(null).cast(org.apache.spark.sql.types.DataType.fromDDL(f.dataType))).as(f.name)
+        case None => lit(null)
+          .cast(org.apache.spark.sql.types.DataType.fromDDL(f.dataType)).as(f.name)
+      }
+    }
+    val staged = deduped.select(dataCols ++ Seq(
       when(col("op") === "delete", lit("d")).otherwise(lit("u")).as("_kind"),
-      bucket.as("_bucket"))
+      bucket.as("_bucket")): _*)
     val stage = table.stageWrite(staged.repartition(col("_bucket")))
     try {
       val affected = table.stagedBuckets(stage)
@@ -120,13 +130,19 @@ object CdcApply {
 
       // --- prune overwritten/deleted keys out of existing files (only the
       // affected buckets; anti-join against the column-pruned staged keys) ---
+      // merge key = fields id 1 & 2 (current names survive renames)
+      val keyRepo = snap.currentSchema.find(_.id == 1).get.name
+      val keyPath = snap.currentSchema.find(_.id == 2).get.name
       val oldFiles = table.filesInBuckets(snap, affected)
       val survivorFiles =
         if (oldFiles.isEmpty) Nil
         else {
           val old = table.readFiles(snap, oldFiles)
-          val survivors = old.join(table.stagedKeys(spark, stage), Seq("repo", "path"), "left_anti")
-            .withColumn("_bucket", LakeTable.bucketExpr(snap.numBuckets))
+          val survivors = old
+            .join(table.stagedKeys(spark, stage, Seq(keyRepo, keyPath)),
+              Seq(keyRepo, keyPath), "left_anti")
+            .withColumn("_bucket",
+              pmod(xxhash64(col(keyRepo)), lit(snap.numBuckets)).cast("int"))
           // hash-repartition on _bucket alone: file count per commit is
           // O(buckets), independent of parallelism
           table.writeDataFiles(survivors.repartition(col("_bucket")), snap.schemaVersion)

@@ -58,19 +58,26 @@ object VectorFunctions {
     buckets.reduce(_ + _)
   }
 
-  /** LSH-bucketed approximate top-k: join queries to corpus within the same
-    * sign bucket only, then rank. Recall < 1 by construction; verified
-    * against [[bruteForceTopK]] in tests.
+  /** Multi-table LSH approximate top-k: `tables` independent sign-bucket
+    * hashes; a corpus vector is a candidate if it shares the query's bucket
+    * in ANY table (standard L-tables LSH: recall grows with L while each
+    * probe still touches ~corpus/2^bits rows). Candidates are ranked by
+    * exact cosine. Recall verified against [[bruteForceTopK]] in tests.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-      bits: Int = 8, seed: Long = 7L): DataFrame = {
+      bits: Int = 4, tables: Int = 8, seed: Long = 7L): DataFrame = {
+    def buckets(vec: Column): Column = array((0 until tables).map { t =>
+      signBucket(vec, dim, bits, seed + t * 7919L) * tables + t
+    }: _*)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      signBucket(col("vec"), dim, bits, seed).as("bucket"))
+      explode(buckets(col("vec"))).as("bucket"))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      signBucket(col("vec"), dim, bits, seed).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      explode(buckets(col("vec"))).as("bucket"))
+    val cand = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1,0 +1,72 @@
+package graft.laketable
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** Avro-driven schema evolution (north-star requirement): table schemas are
+  * declared as Avro record JSON; a version bump is diffed into Iceberg-style
+  * column ADDs and RENAMEs applied to the lake table (metadata-only commits).
+  *
+  * Rename-vs-add disambiguation (SURVEY.md §7.4 "hard part") uses Avro's own
+  * mechanism: a renamed field carries its previous name in `aliases`; a new
+  * field without a matching alias is an ADD.
+  */
+final case class AvroField(name: String, avroType: String, aliases: Set[String])
+
+object AvroSchema {
+  private val mapper = new ObjectMapper()
+
+  /** Parse the fields of an Avro record schema JSON. Union types like
+    * ["null","string"] take their non-null branch (nullable column).
+    */
+  def parse(json: String): Seq[AvroField] = {
+    val root = mapper.readTree(json)
+    require(root.get("type").asText() == "record", "expected an Avro record schema")
+    root.get("fields").elements().asScala.map { f =>
+      val t = f.get("type")
+      val typeStr =
+        if (t.isTextual) t.asText()
+        else if (t.isArray)
+          t.elements().asScala.map(_.asText()).filterNot(_ == "null").toSeq.headOption
+            .getOrElse("string")
+        else "string"
+      val aliases = Option(f.get("aliases")).map(_.elements().asScala.map(_.asText()).toSet)
+        .getOrElse(Set.empty[String])
+      AvroField(f.get("name").asText(), typeStr, aliases)
+    }.toSeq
+  }
+
+  def avroTypeToDdl(t: String): String = t match {
+    case "string"  => "STRING"
+    case "int"     => "INT"
+    case "long"    => "BIGINT"
+    case "float"   => "FLOAT"
+    case "double"  => "DOUBLE"
+    case "boolean" => "BOOLEAN"
+    case "bytes"   => "BINARY"
+    case other     => throw new IllegalArgumentException(s"unsupported Avro type: $other")
+  }
+
+  /** Diff two Avro schema versions → (renames old→new, adds (name, ddlType)).
+    * A new-named field whose `aliases` contain an existing old name is a
+    * RENAME (field id preserved downstream); otherwise an ADD.
+    */
+  def diff(oldFields: Seq[AvroField], newFields: Seq[AvroField])
+      : (Map[String, String], Seq[(String, String)]) = {
+    val oldNames = oldFields.map(_.name).toSet
+    val kept = newFields.filter(f => oldNames.contains(f.name)).map(_.name).toSet
+    val incoming = newFields.filterNot(f => oldNames.contains(f.name))
+    val renames = incoming.flatMap { f =>
+      f.aliases.intersect(oldNames -- kept).headOption.map(_ -> f.name)
+    }.toMap
+    val adds = incoming.filterNot(f => renames.values.toSet.contains(f.name))
+      .map(f => f.name -> avroTypeToDdl(f.avroType))
+    (renames, adds)
+  }
+
+  /** Apply an Avro version bump to a lake table. */
+  def evolve(table: LakeTable, oldJson: String, newJson: String): Snapshot = {
+    val (renames, adds) = diff(parse(oldJson), parse(newJson))
+    table.evolveSchema(renames, adds)
+  }
+}

@@ -190,10 +190,11 @@ final class LakeTable(val root: String, spark: SparkSession) {
     else spark2.read.parquet(p.toString).count()
   }
 
-  /** Keys (repo, path) present in the staged batch — column-pruned read. */
-  private[graft] def stagedKeys(spark2: SparkSession, stage: Path): DataFrame =
+  /** Merge keys present in the staged batch — column-pruned read. */
+  private[graft] def stagedKeys(spark2: SparkSession, stage: Path,
+      keyCols: Seq[String]): DataFrame =
     spark2.read.option("basePath", stage.toString).parquet(stage.toString)
-      .select(col("repo"), col("path"))
+      .select(keyCols.map(col): _*)
 
   /** Adopt staged upsert files as final data files (move, no rewrite). */
   private[graft] def adoptStagedUpserts(stage: Path, schemaVersion: Int): Seq[DataFileEntry] = {

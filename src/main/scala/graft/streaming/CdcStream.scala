@@ -47,22 +47,54 @@ object CdcStream {
       rc.endSeq.map("endSeq" -> _.toString)
   }
 
-  /** Per-shard end cursors of a batch: max-rank vgtid per (keyspace, shard) —
-    * the position stamped into the snapshot summary, batch-current like the
-    * reference's metadata position (`planetscale_edge_database.go:437-450`).
+  /** Per-shard batch stats in ONE job: end cursor (max-rank vgtid — the
+    * batch-current position the reference stamps into metadata,
+    * `planetscale_edge_database.go:437-450`), COPY-phase PK watermark, and
+    * per-shard row counts / vgtid range for the lineage + metrics table.
     */
-  def cursorsFromBatch(batch: DataFrame): Map[String, ShardCursor] = {
+  final case class ShardStats(cursor: ShardCursor, rows: Long, vgtidStart: String, vgtidEnd: String)
+
+  def shardStatsFromBatch(batch: DataFrame): Map[String, ShardStats] = {
     batch.groupBy(col("keyspace"), col("shard"))
-      .agg(max_by(col("vgtid"), vgtid_rank(col("vgtid"))).as("v"),
-        max_by(struct(col("last_pk")), col("event_seq")).getField("last_pk").as("pk"))
-      .collect().map { case Row(ks: String, shard: String, v: String, pk) =>
+      .agg(
+        max_by(col("vgtid"), vgtid_rank(col("vgtid"))).as("v_end"),
+        min_by(col("vgtid"), vgtid_rank(col("vgtid"))).as("v_start"),
+        max_by(struct(col("last_pk")), col("event_seq")).getField("last_pk").as("pk"),
+        count(lit(1)).as("rows"))
+      .collect().map { case Row(ks: String, shard: String, vEnd: String, vStart: String, pk, rows: Long) =>
         val lastPk = Option(pk).map { r =>
           val rr = r.asInstanceOf[Row]
           graft.core.LastPk(rr.getString(0), rr.getString(1))
         }
-        shard -> ShardCursor(ks, shard, v, lastPk)
+        shard -> ShardStats(ShardCursor(ks, shard, vEnd, lastPk), rows, vStart, vEnd)
       }.toMap
   }
+
+  def cursorsFromBatch(batch: DataFrame): Map[String, ShardCursor] =
+    shardStatsFromBatch(batch).map { case (s, st) => s -> st.cursor }
+
+  /** Append one row per (batch, shard) to the table's metrics sidecar —
+    * per-partition lineage (shard, vgtid range, rows) + throughput, the
+    * north-star's per-micro-batch metrics table.
+    */
+  private def writeMetrics(spark: SparkSession, tableRoot: String, batchId: Long,
+      stats: Map[String, ShardStats], wallMs: Long, version: Long): Unit = {
+    import spark.implicits._
+    if (stats.isEmpty) return
+    val totalRows = stats.values.map(_.rows).sum
+    val evPerSec = if (wallMs > 0) totalRows * 1000.0 / wallMs else 0.0
+    stats.toSeq.map { case (shard, st) =>
+      (batchId, st.cursor.keyspace, shard, st.vgtidStart, st.vgtidEnd,
+        st.rows, wallMs, evPerSec, version)
+    }.toDF("batch_id", "keyspace", "shard", "vgtid_start", "vgtid_end",
+      "rows", "wall_ms", "batch_events_per_sec", "committed_version")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$tableRoot/metrics")
+  }
+
+  /** Read the metrics table (one row per batch × shard). */
+  def readMetrics(spark: SparkSession, tableRoot: String): DataFrame =
+    spark.read.parquet(s"$tableRoot/metrics")
 
   /** Run one `Trigger.AvailableNow` pass: peek the head, drain to it in
     * micro-batches, commit, stop. Returns the number of batches applied.
@@ -79,10 +111,16 @@ object CdcStream {
       .option("checkpointLocation", rc.checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cursors = cursorsFromBatch(batch)
-        val res = CdcApply.applyBatch(table, batch, cursors, batchId,
-          streamId = rc.streamId, conf = CdcApply.ApplyConfig(parityMode = rc.parityMode))
-        if (!res.skipped) batches += 1
+        val t0 = System.nanoTime()
+        val stats = shardStatsFromBatch(batch)
+        val res = CdcApply.applyBatch(table, batch, stats.map { case (s, st) => s -> st.cursor },
+          batchId, streamId = rc.streamId,
+          conf = CdcApply.ApplyConfig(parityMode = rc.parityMode))
+        if (!res.skipped) {
+          batches += 1
+          writeMetrics(spark, rc.tableRoot, batchId, stats,
+            (System.nanoTime() - t0) / 1000000L, res.snapshot.version)
+        }
         ()
       }
       .start()

@@ -75,6 +75,22 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assert(t.currentVersion.contains(v))
   }
 
+  test("metrics table: one row per (batch, shard) with vgtid range + rows") {
+    val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
+    val base = tmpDir("metrics")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    CdcStream.runAvailableNow(spark, CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
+      maxEventsPerTrigger = Some(1500L)))
+    val m = CdcStream.readMetrics(spark, s"$base/t")
+    assert(m.columns.toSet == Set("batch_id", "keyspace", "shard", "vgtid_start",
+      "vgtid_end", "rows", "wall_ms", "batch_events_per_sec", "committed_version"))
+    // every shard reported in every non-empty batch; rows sum to the stream
+    assert(m.select(sum(col("rows"))).head().getLong(0) == c.numEvents)
+    assert(m.select(countDistinct(col("batch_id"))).head().getLong(0) > 1)
+    assert(m.filter(col("vgtid_end").startsWith("MySQL56/")).count() == m.count())
+  }
+
   test("batch scan of the source equals the batch generator (same offsets)") {
     val c = GenConfig(numEvents = 5000L, numShards = 4, numRepos = 20, pathsPerRepo = 10,
       copyRows = 400L)
