@@ -112,6 +112,11 @@ object CdcApply {
       origById.get(f.id) match {
         case Some("repo") => col("_repo").as(f.name)
         case Some("path") => col("_path").as(f.name)
+        // provenance metadata (reference's _planetscale_metadata analogue):
+        // position/sequence of the winning event + extraction timestamp
+        case Some("_graft_vgtid")        => col("vgtid").as(f.name)
+        case Some("_graft_seq")          => col("event_seq").as(f.name)
+        case Some("_graft_extracted_at") => current_timestamp().as(f.name)
         case Some(orig)   => coalesce(col(s"after.$orig"),
           lit(null).cast(org.apache.spark.sql.types.DataType.fromDDL(f.dataType))).as(f.name)
         case None => lit(null)

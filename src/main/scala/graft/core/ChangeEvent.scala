@@ -52,6 +52,16 @@ object ChangeEvent {
     StructField("lang", StringType, nullable = false),
     StructField("content", StringType, nullable = false)))
 
+  /** Optional metadata columns — the analogue of the reference's injected
+    * `_planetscale_metadata {vgtid_position, extracted_at, sequence_number}`
+    * (`planetscale_edge_database.go:560-574`, `spec.json:63`). Tables created
+    * with this extended schema get per-row provenance stamped at apply time.
+    */
+  val rowSchemaWithMeta: StructType = StructType(rowSchema.fields ++ Seq(
+    StructField("_graft_vgtid", StringType, nullable = true),
+    StructField("_graft_seq", LongType, nullable = true),
+    StructField("_graft_extracted_at", TimestampType, nullable = true)))
+
   val schema: StructType = StructType(Seq(
     StructField("keyspace", StringType, nullable = false),
     StructField("shard", StringType, nullable = false),
