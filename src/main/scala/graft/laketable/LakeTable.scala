@@ -243,6 +243,45 @@ final class LakeTable(val root: String, spark: SparkSession) {
     snap
   }
 
+  // ---- maintenance ---------------------------------------------------------
+
+  /** Compact buckets whose file count exceeds `maxFilesPerBucket`: their rows
+    * are rewritten into fresh files (one parquet job over only those buckets)
+    * and the snapshot replaces them atomically. Steady-state micro-batching
+    * otherwise accretes one file per bucket per commit.
+    */
+  def compact(maxFilesPerBucket: Int = 4): Snapshot = {
+    val snap = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
+    val crowded = snap.files.groupBy(_.bucket).filter(_._2.size > maxFilesPerBucket).keySet
+    if (crowded.isEmpty) return snap
+    val keyCol = snap.currentSchema.head.name // field id 1 = bucket key
+    val df = readFiles(snap, filesInBuckets(snap, crowded))
+      .withColumn("_bucket", pmod(xxhash64(col(keyCol)), lit(snap.numBuckets)).cast("int"))
+    val newFiles = writeDataFiles(df.repartition(col("_bucket")), snap.schemaVersion)
+    commit(crowded, newFiles, Map("compacted" -> s"v${snap.version}:${crowded.size} buckets"))
+  }
+
+  /** Drop snapshot metadata older than the last `keepLast` versions and
+    * delete data files no kept snapshot references (time travel window).
+    */
+  def expireSnapshots(keepLast: Int = 3): Unit = {
+    val cur = currentVersion.getOrElse(return)
+    val f = fs
+    val keepFrom = math.max(0L, cur - keepLast + 1)
+    val kept = (keepFrom to cur).map(snapshot)
+    val referenced = kept.flatMap(_.files.map(_.path)).toSet
+    // delete unreferenced data files
+    f.listStatus(dataDir).foreach { st =>
+      val rel = s"data/${st.getPath.getName}"
+      if (!referenced.contains(rel)) f.delete(st.getPath, false)
+    }
+    // delete expired snapshot json
+    (0L until keepFrom).foreach { v =>
+      val p = new Path(metaDir, s"v$v.json")
+      if (f.exists(p)) f.delete(p, false)
+    }
+  }
+
   // ---- schema evolution ---------------------------------------------------
 
   /** Avro-diff-driven evolution: `renames` map old→new name (field id kept),

@@ -27,7 +27,9 @@ object CdcStream {
       endSeq: Option[Long] = None,
       rowsPerPartition: Long = 250000L,
       parityMode: Boolean = false,
-      streamId: String = "default")
+      streamId: String = "default",
+      compactEvery: Option[Int] = None,
+      maxFilesPerBucket: Int = 4)
 
   def sourceOptions(rc: RunConfig): Map[String, String] = {
     val c = rc.gen
@@ -120,11 +122,21 @@ object CdcStream {
           batches += 1
           writeMetrics(spark, rc.tableRoot, batchId, stats,
             (System.nanoTime() - t0) / 1000000L, res.snapshot.version)
+          // periodic small-file compaction (its commit is separate from the
+          // batch commit and content-neutral, so replays stay idempotent)
+          rc.compactEvery.foreach { k =>
+            if (k > 0 && batchId % k == k - 1) table.compact(rc.maxFilesPerBucket)
+          }
         }
         ()
       }
       .start()
     q.awaitTermination()
+    // deregistration from the JVM-global active-checkpoint set can lag
+    // awaitTermination; stop() synchronizes it so an immediate restart on the
+    // same checkpoint (crash/resume tests, back-to-back syncs) doesn't trip
+    // the concurrent-use guard
+    q.stop()
     batches
   }
 }

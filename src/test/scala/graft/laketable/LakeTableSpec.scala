@@ -54,6 +54,41 @@ class LakeTableSpec extends AnyFunSuite with SparkSupport {
     assert(t.currentVersion.contains(v2))
   }
 
+  test("compact merges crowded buckets without changing table contents") {
+    val t = newTable()
+    (1 to 6).foreach { i =>
+      val f = t.writeDataFiles(someRows(10).withColumn("_bucket", LakeTable.bucketExpr(4)), 0)
+      t.commit(Set.empty, f, Map.empty)
+    }
+    val before = t.read().orderBy("repo", "path").collect().toSeq
+    val filesBefore = t.currentSnapshot.get.files.size
+    t.compact(maxFilesPerBucket = 2)
+    val after = t.read().orderBy("repo", "path").collect().toSeq
+    assert(after == before, "compaction changed table contents")
+    val snap = t.currentSnapshot.get
+    assert(snap.files.size < filesBefore)
+    assert(snap.files.groupBy(_.bucket).values.forall(_.size <= 2))
+    // compacting an already-tidy table is a no-op commit
+    val v = t.currentVersion.get
+    t.compact(maxFilesPerBucket = 2)
+    assert(t.currentVersion.contains(v))
+  }
+
+  test("expireSnapshots drops old metadata + unreferenced data files") {
+    val t = newTable()
+    (1 to 5).foreach { i =>
+      val f = t.writeDataFiles(someRows(5).withColumn("_bucket", LakeTable.bucketExpr(4)), 0)
+      t.commit(if (i > 1) t.currentSnapshot.get.files.map(_.bucket).toSet else Set.empty,
+        f, Map.empty) // replace everything each time → old files orphan fast
+    }
+    val cur = t.currentVersion.get
+    val rows = t.read().count()
+    t.expireSnapshots(keepLast = 2)
+    assert(t.read().count() == rows, "current snapshot must survive expiry")
+    assert(t.read(Some(cur - 1)).count() >= 0)  // kept window still time-travels
+    assertThrows[Exception](t.read(Some(0L)))   // expired version gone
+  }
+
   test("schema evolution: rename is metadata-only, add fills null") {
     val t = newTable()
     val files = t.writeDataFiles(someRows(6).withColumn("_bucket", LakeTable.bucketExpr(4)), 0)
