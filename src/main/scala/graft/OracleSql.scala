@@ -112,6 +112,21 @@ object OracleSql {
          FROM (SELECT CAST(replace(replace(props, '{"k": ', ''), '}', '') AS BIGINT) AS k
                FROM events) GROUP BY 1""",
 
+    "q14_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+                    FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+            p AS (SELECT user_id, ts, event_id AS purchase_id
+                  FROM events WHERE event_type = 'purchase')
+         SELECT p.purchase_id, p.user_id, v.view_id
+         FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "q15_range_join" ->
+      """SELECT bucket, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         FROM events JOIN (VALUES (0.0, 25.0, 'low'), (25.0, 75.0, 'mid'),
+           (75.0, 1000000000.0, 'high')) AS b(lo, hi, bucket)
+           ON value >= lo AND value < hi
+         WHERE value >= 0 GROUP BY 1""",
+
     "cdc_lww_dedup" ->
       """SELECT l_orderkey, last_part, last_line, last_qty FROM (
            SELECT l_orderkey, l_partkey AS last_part, l_linenumber AS last_line,

@@ -146,6 +146,35 @@ object SparkEntry {
       .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
 
+  /** As-of join: each purchase matched to the user's most recent prior (or
+    * simultaneous) view — composed union+window (see [[graft.operators.AsOfJoin]]),
+    * oracled against DuckDB's native ASOF JOIN.
+    */
+  private def q14AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id")) // dedup (user, ts) for determinism
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    graft.operators.AsOfJoin.asof(purchases, views,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      rightCols = Seq("view_id"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"))
+  }
+
+  /** Range join: events bucketed by value interval (broadcast NL join). */
+  private def q15RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = Seq((0.0, 25.0, "low"), (25.0, 75.0, "mid"), (75.0, 1e9, "high"))
+      .toDF("lo", "hi", "bucket")
+    graft.operators.AsOfJoin.rangeJoin(
+      t(s, dir, "events").filter(col("value") >= 0), buckets,
+      col("value"), col("lo"), col("hi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("decimal(18,2)").as("total"))
+  }
+
   // --------------------------------------------------------------------- //
   // CDC dataflow operators re-expressed over the testdata (SQL-checkable)
   // --------------------------------------------------------------------- //
@@ -448,6 +477,8 @@ object SparkEntry {
     "q11_rollup" -> q11Rollup,
     "q12_events_windowed" -> q12EventsWindowed,
     "q13_json" -> q13Json,
+    "q14_asof_join" -> q14AsofJoin,
+    "q15_range_join" -> q15RangeJoin,
     "cdc_lww_dedup" -> cdcLwwDedup,
     "cdc_merge_upsert" -> cdcMergeUpsert,
     "cdc_delete_apply" -> cdcDeleteApply,
