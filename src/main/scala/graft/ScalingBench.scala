@@ -44,7 +44,7 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val events = sys.env.get("SPARK_GRAFT_BENCH_EVENTS").map(_.toLong).getOrElse(6000000L)
+    val events = sys.env.get("SPARK_GRAFT_BENCH_EVENTS").map(_.toLong).getOrElse(12000000L)
     val n = sys.env.get("SPARK_GRAFT_N").map(_.toInt).getOrElse(2)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     val rounds = sys.env.get("SPARK_GRAFT_ROUNDS").map(_.toInt).getOrElse(2)

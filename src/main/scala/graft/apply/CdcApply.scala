@@ -58,9 +58,12 @@ object CdcApply {
       .withColumn("_path", coalesce(col("after.path"), col("before.path")))
       .withColumn("_rank", vgtid_rank(col("vgtid")))
     val payload = events.columns.map(col) :+ col("_rank")
+    // LwwMaxBy (TypedImperativeAggregate) instead of max_by(struct, struct):
+    // ObjectHashAggregate-eligible → hash probes, no per-partition sort
     keyed
       .groupBy(col("_repo"), col("_path"))
-      .agg(max_by(struct(payload: _*), struct(col("_rank"), col("event_seq"))).as("_win"))
+      .agg(graft.functions.LwwMaxBy.lww_max_by(
+        struct(payload: _*), col("_rank"), col("event_seq")).as("_win"))
       .select(col("_repo"), col("_path"), col("_win.*"))
   }
 
