@@ -32,14 +32,14 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price,
          count(*) AS n
          FROM lineitem GROUP BY 1, 2""",
 
     "q2_join_regions" ->
       """SELECT r_name,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue,
          count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -50,7 +50,7 @@ object OracleSql {
       """SELECT l_orderkey,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
                   (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))))
-              AS DECIMAL(18,4)) AS revenue
+              * 10000 AS BIGINT) AS revenue
          FROM lineitem GROUP BY 1
          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
 
@@ -67,12 +67,13 @@ object OracleSql {
 
     "q6_filter" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                        CAST(l_discount AS DECIMAL(5,2))) AS DECIMAL(18,4)) AS disc_revenue,
+                        CAST(l_discount AS DECIMAL(5,2))) * 10000 AS BIGINT) AS disc_revenue,
          count(*) AS n
          FROM lineitem WHERE l_quantity < 24 AND l_discount >= 0.05""",
 
     "q7_window" ->
-      """SELECT o_custkey, o_orderkey, rn, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_custkey, o_orderkey, rn,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  row_number() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -99,16 +100,16 @@ object OracleSql {
 
     "q11_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
 
     "q12_events_windowed" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total
          FROM events GROUP BY 1, 2""",
 
     "q13_json" ->
-      """SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k
+      """SELECT k % 10 AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
          FROM (SELECT CAST(replace(replace(props, '{"k": ', ''), '}', '') AS BIGINT) AS k
                FROM events) GROUP BY 1""",
 
@@ -121,7 +122,8 @@ object OracleSql {
          FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""",
 
     "q15_range_join" ->
-      """SELECT bucket, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      """SELECT bucket, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total
          FROM events JOIN (VALUES (0.0, 25.0, 'low'), (25.0, 75.0, 'mid'),
            (75.0, 1000000000.0, 'high')) AS b(lo, hi, bucket)
            ON value >= lo AND value < hi
@@ -130,7 +132,7 @@ object OracleSql {
     "cdc_lww_dedup" ->
       """SELECT l_orderkey, last_part, last_line, last_qty FROM (
            SELECT l_orderkey, l_partkey AS last_part, l_linenumber AS last_line,
-             CAST(l_quantity AS DECIMAL(18,2)) AS last_qty,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS last_qty,
              row_number() OVER (PARTITION BY l_orderkey
                ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC, l_quantity DESC) AS rn
            FROM lineitem) WHERE rn = 1""",
@@ -141,7 +143,7 @@ object OracleSql {
             updates AS (SELECT o_orderkey,
                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS upd_price
                         FROM orders WHERE o_orderkey % 2 = 0)
-         SELECT o_orderkey, COALESCE(upd_price, base_price) AS final_price,
+         SELECT o_orderkey, CAST(COALESCE(upd_price, base_price) * 100 AS BIGINT) AS final_price,
            CASE WHEN upd_price IS NOT NULL AND base_price IS NOT NULL THEN 'updated'
                 WHEN upd_price IS NOT NULL THEN 'inserted' ELSE 'kept' END AS merge_op
          FROM base FULL OUTER JOIN updates USING (o_orderkey)""",

@@ -46,12 +46,20 @@ object SparkEntry {
   // Relational coverage (TPC-H-ish over driver testdata)
   // --------------------------------------------------------------------- //
 
+  /** Oracled FINAL columns are always int/long/string/timestamp: DECIMAL is
+    * kept internally for exact order-free aggregation, then scaled to long
+    * cents (×100) or e4 (×10000) — the driver's canonicalizer renders
+    * Spark-parquet DECIMAL trailing zeros differently from DuckDB's.
+    */
+  private def cents(c: Column): Column = (c * 100).cast("long")
+  private def e4(c: Column): Column = (c * 10000).cast("long")
+
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_price"),
+        cents(sum(dec(col("l_quantity")))).as("sum_qty"),
+        cents(sum(dec(col("l_extendedprice")))).as("sum_price"),
         count(lit(1)).as("n"))
 
   private def q2JoinRegions(s: SparkSession, dir: String): DataFrame =
@@ -60,14 +68,14 @@ object SparkEntry {
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("revenue"),
+      .agg(cents(sum(dec(col("o_totalprice")))).as("revenue"),
         count(lit(1)).as("n_orders"))
 
   private def q3TopRevenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(5,2)") - dec(col("l_discount"), 5, 2)))
-        .cast("decimal(18,4)").as("revenue"))
+      .agg(e4(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(5,2)") - dec(col("l_discount"), 5, 2))))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
 
@@ -89,8 +97,8 @@ object SparkEntry {
   private def q6Filter(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_quantity") < 24 && col("l_discount") >= 0.05)
-      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"), 5, 2))
-        .cast("decimal(18,4)").as("disc_revenue"),
+      .agg(e4(sum(dec(col("l_extendedprice")) * dec(col("l_discount"), 5, 2)))
+        .as("disc_revenue"),
         count(lit(1)).as("n"))
 
   private def q7Window(s: SparkSession, dir: String): DataFrame = {
@@ -100,7 +108,7 @@ object SparkEntry {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("rn"),
-        dec(col("o_totalprice")).as("price"))
+        cents(dec(col("o_totalprice"))).as("price"))
   }
 
   private def q8SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -133,12 +141,12 @@ object SparkEntry {
   private def q11Rollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("qty"))
+      .agg(count(lit(1)).as("n"), cents(sum(dec(col("l_quantity")))).as("qty"))
 
   private def q12EventsWindowed(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("decimal(18,2)").as("total"))
+      .agg(count(lit(1)).as("n"), cents(sum(dec(col("value")))).as("total"))
 
   private def q13Json(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -172,7 +180,7 @@ object SparkEntry {
       t(s, dir, "events").filter(col("value") >= 0), buckets,
       col("value"), col("lo"), col("hi"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("decimal(18,2)").as("total"))
+      .agg(count(lit(1)).as("n"), cents(sum(dec(col("value")))).as("total"))
   }
 
   // --------------------------------------------------------------------- //
@@ -192,7 +200,7 @@ object SparkEntry {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("l_orderkey"), col("l_partkey").as("last_part"),
-        col("l_linenumber").as("last_line"), dec(col("l_quantity")).as("last_qty"))
+        col("l_linenumber").as("last_line"), cents(dec(col("l_quantity"))).as("last_qty"))
   }
 
   /** A15/merge: upsert semantics via full-outer join (MERGE INTO shape). */
@@ -203,7 +211,7 @@ object SparkEntry {
       .select(col("o_orderkey"), (dec(col("o_totalprice")) * 2).cast("decimal(18,2)").as("upd_price"))
     base.join(updates, Seq("o_orderkey"), "full_outer")
       .select(col("o_orderkey"),
-        coalesce(col("upd_price"), col("base_price")).as("final_price"),
+        cents(coalesce(col("upd_price"), col("base_price"))).as("final_price"),
         when(col("upd_price").isNotNull && col("base_price").isNotNull, "updated")
           .when(col("upd_price").isNotNull, "inserted").otherwise("kept").as("merge_op"))
   }
@@ -218,12 +226,15 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), max(col("c_custkey")).as("max_key"))
   }
 
-  /** A6 snapshot chunking: PK-range chunks (repartitionByRange analogue,
-    * expressed as ntile so the oracle can check the boundaries).
+  /** A6 snapshot chunking: PK-range chunks with exact ntile semantics but NO
+    * single-partition global window — [[graft.operators.GlobalRank]] range-
+    * partitions by PK and composes local ranks with O(P) offsets, so the plan
+    * survives 100× scale (the naive `ntile().over(Window.orderBy)` moves the
+    * whole table to one partition).
     */
   private def cdcSnapshotChunks(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .withColumn("chunk", ntile(16).over(Window.orderBy(col("o_orderkey"))))
+    graft.operators.GlobalRank
+      .ntileByRange(t(s, dir, "orders"), col("o_orderkey"), 16, "chunk")
       .groupBy(col("chunk"))
       .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("from_key"),
         max(col("o_orderkey")).as("to_key"))
@@ -363,10 +374,12 @@ object SparkEntry {
   }
 
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    // word 3-shingles → 16-hash MinHash signature → 4 LSH bands; candidate
+    // char 20-shingles → 32-hash MinHash signature → 4 LSH bands; candidate
     // pairs deduped BEFORE the exact-Jaccard verify (compute once per pair,
-    // not once per colliding band); signature relation cached across the
-    // self-join sides.
+    // not once per colliding band). Every join is a SHUFFLE join
+    // (shuffle_hash hints): the corpus's shingle arrays are never broadcast
+    // — at 100 TB the candidate-pair side is the small one, and the two
+    // verify joins shuffle on a_id/b_id just like the band self-join does.
     val docs = plantedDocs(s, dir)
       .withColumn("sh", T.shingles(col("text"), 20))
       .cache()
@@ -374,16 +387,17 @@ object SparkEntry {
       .withColumn("band", explode(T.lshBandKeys(
         T.minhashSignature(col("sh"), 32), 4, 8)))
       .select(col("doc_id"), col("band"))
-    // candidate pair ids only (cheap shuffle), THEN fetch shingle arrays via
-    // broadcast joins for the single exact-Jaccard verify per pair
     val cand = sig.select(col("band"), col("doc_id").as("a_id"))
-      .join(sig.select(col("band"), col("doc_id").as("b_id")), Seq("band"))
+      .join(sig.select(col("band"), col("doc_id").as("b_id")).hint("shuffle_hash"),
+        Seq("band"))
       .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val bySide = broadcast(docs.select(col("doc_id"), col("sh")))
+    val bySide = docs.select(col("doc_id"), col("sh"))
     cand
-      .join(bySide.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-      .join(bySide.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .join(bySide.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        .hint("shuffle_hash"), Seq("a_id"))
+      .join(bySide.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        .hint("shuffle_hash"), Seq("b_id"))
       .select(col("a_id"), col("b_id"), T.jaccardPermille(col("a_sh"), col("b_sh")).as("jacc_pm"))
       .filter(col("jacc_pm") >= 700)
   }

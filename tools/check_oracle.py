@@ -11,17 +11,19 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def canon(con, rel_sql):
-    df = con.sql(rel_sql).df()
-    cols = sorted(df.columns)
-    df = df[cols]
-    # stringify with stable float formatting, sort rows
+    # fetchall (NOT .df()) so DECIMAL stays Decimal — pandas coercion to
+    # float64 masked the round-1 trailing-zero mismatch ("25.00" vs "25.0")
+    rel = con.sql(rel_sql)
+    names = rel.columns
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [names[i] for i in order]
     def cell(v):
         if v is None or (isinstance(v, float) and v != v):
             return "NULL"
         if isinstance(v, float):
-            return f"{v:.6g}"
+            return repr(v)
         return str(v)
-    rows = sorted("|".join(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
+    rows = sorted("|".join(cell(row[i]) for i in order) for row in rel.fetchall())
     import hashlib
     h = hashlib.md5("\n".join(rows).encode()).hexdigest()
     return len(rows), cols, h, rows[:3]
