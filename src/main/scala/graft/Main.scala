@@ -82,15 +82,31 @@ object Main {
           val t = new LakeTable(root, spark)
           val c = genConfig(o)
           val shards = ChangelogGen.shardNames(c.numShards).mkString("\",\"")
+          // source-side MySQL column types of the repo_content stream → JSON
+          // schema via TypeMap (reference discover, `getStreamForTable` +
+          // `getJsonSchemaType`, planetscale_edge_database.go:97-191);
+          // tinyint(1)→boolean honors do_not_treat_tiny_int_as_boolean
+          val treatTiny = !o.get("do_not_treat_tiny_int_as_boolean").exists(_.toBoolean)
+          val mysqlCols = Seq(
+            ("repo", "varchar(255)", "NO"), ("path", "varchar(512)", "NO"),
+            ("commit", "char(40)", "NO"), ("lang", "varchar(16)", "YES"),
+            ("content", "longtext", "YES"))
+          val jsonSchema = mysqlCols.map { case (n, ty, nul) =>
+            val p = graft.core.TypeMap.jsonSchemaType(ty, treatTiny, nul)
+            val extra =
+              (if (p.airbyteType.nonEmpty) s""","airbyte_type":"${p.airbyteType}"""" else "") +
+              (if (p.customFormat.nonEmpty) s""","format":"${p.customFormat}"""" else "")
+            s""""$n":{"type":[${p.jsonTypes.map("\"" + _ + "\"").mkString(",")}]$extra}"""
+          }.mkString("{", ",", "}")
           t.currentSnapshot match {
             case Some(snap) =>
               val fields = snap.currentSchema
                 .map(f => s"""{"id":${f.id},"name":"${f.name}","type":"${f.dataType}"}""")
                 .mkString(",")
               val cursors = snap.summary.getOrElse("cursors", "{}")
-              println(s"""{"streams":[{"name":"repo_content","namespace":"${c.keyspace}","schema":[$fields],"primary_keys":[["repo"],["path"]],"supported_sync_modes":["full_refresh","incremental"],"shards":["$shards"],"version":${snap.version},"cursors":$cursors}]}""")
+              println(s"""{"streams":[{"name":"repo_content","namespace":"${c.keyspace}","schema":[$fields],"json_schema":$jsonSchema,"primary_keys":[["repo"],["path"]],"supported_sync_modes":["full_refresh","incremental"],"source_defined_cursor":true,"shards":["$shards"],"version":${snap.version},"cursors":$cursors}]}""")
             case None =>
-              println(s"""{"streams":[{"name":"repo_content","namespace":"${c.keyspace}","schema":null,"shards":["$shards"]}]}""")
+              println(s"""{"streams":[{"name":"repo_content","namespace":"${c.keyspace}","schema":null,"json_schema":$jsonSchema,"supported_sync_modes":["full_refresh","incremental"],"source_defined_cursor":true,"shards":["$shards"]}]}""")
           }
         } finally spark.stop()
 

@@ -195,6 +195,36 @@ object OracleSql {
     "catalog_gc_filter" ->
       """SELECT * FROM (VALUES ('users'),('orders'),('products')) AS t(table_name)""",
 
+    // expected rows hand-derived from the reference's getJsonSchemaType test
+    // table (planetscale_edge_database_test.go:360-503) + SURVEY §1.2 Spark types
+    "catalog_type_map" ->
+      """SELECT * FROM (VALUES
+         (1,'int(11)',false,'number','integer','','BIGINT'),
+         (2,'smallint(4)',false,'number','integer','','BIGINT'),
+         (3,'mediumint(8)',false,'number','integer','','BIGINT'),
+         (4,'tinyint',true,'number','integer','','BIGINT'),
+         (5,'tinyint(1)',true,'boolean','','','BOOLEAN'),
+         (6,'tinyint(1) unsigned',true,'boolean','','','BOOLEAN'),
+         (7,'tinyint(1)',false,'number','integer','','BIGINT'),
+         (8,'tinyint(1) unsigned',false,'number','integer','','BIGINT'),
+         (9,'bigint(16)',false,'number','integer','','BIGINT'),
+         (10,'bigint unsigned',false,'number','integer','','BIGINT'),
+         (11,'bigint zerofill',false,'number','integer','','BIGINT'),
+         (12,'datetime',false,'string','timestamp_without_timezone','date-time','TIMESTAMP_NTZ'),
+         (13,'datetime(6)',false,'string','timestamp_without_timezone','date-time','TIMESTAMP_NTZ'),
+         (14,'timestamp',false,'string','timestamp_with_timezone','date-time','TIMESTAMP'),
+         (15,'timestamp(6)',false,'string','timestamp_with_timezone','date-time','TIMESTAMP'),
+         (16,'time',false,'string','time_with_timezone','time','STRING'),
+         (17,'time(6)',false,'string','time_with_timezone','time','STRING'),
+         (18,'date',false,'string','date','date','DATE'),
+         (19,'text',false,'string','','','STRING'),
+         (20,'varchar(256)',false,'string','','','STRING'),
+         (21,'varchar(256)',false,'null,string','','','STRING'),
+         (22,'decimal(12,5)',false,'number','','','DECIMAL(12,5)'),
+         (23,'double',false,'number','','','DOUBLE'),
+         (24,'float(30)',false,'number','','','DOUBLE')
+         ) AS t(case_id, mysql_type, treat_bool, json_type, airbyte_type, custom_format, spark_type)""",
+
     "shard_enum" ->
       """SELECT * FROM (VALUES ('-20',true),('20-40',false),('40-60',false),('60-80',true),
          ('80-a0',false),('a0-c0',false),('c0-e0',false),('e0-',true)) AS t(shard, selected)""",

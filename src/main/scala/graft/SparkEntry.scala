@@ -321,6 +321,35 @@ object SparkEntry {
       .select(col("table_name"))
   }
 
+  /** A10 schema discovery: MySQL column-type → (JSON-schema, Airbyte,
+    * Spark) type mapping — the reference's `getJsonSchemaType` vectors
+    * (`planetscale_edge_database_test.go:360-503`) run through
+    * [[graft.core.TypeMap]], incl. the `do_not_treat_tiny_int_as_boolean`
+    * opt-out pairs.
+    */
+  private def catalogTypeMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vectors = Seq(
+      (1, "int(11)", false, ""), (2, "smallint(4)", false, ""),
+      (3, "mediumint(8)", false, ""), (4, "tinyint", true, ""),
+      (5, "tinyint(1)", true, ""), (6, "tinyint(1) unsigned", true, ""),
+      (7, "tinyint(1)", false, ""), (8, "tinyint(1) unsigned", false, ""),
+      (9, "bigint(16)", false, ""), (10, "bigint unsigned", false, ""),
+      (11, "bigint zerofill", false, ""), (12, "datetime", false, ""),
+      (13, "datetime(6)", false, ""), (14, "timestamp", false, ""),
+      (15, "timestamp(6)", false, ""), (16, "time", false, ""),
+      (17, "time(6)", false, ""), (18, "date", false, ""),
+      (19, "text", false, ""), (20, "varchar(256)", false, ""),
+      (21, "varchar(256)", false, "YES"), (22, "decimal(12,5)", false, ""),
+      (23, "double", false, ""), (24, "float(30)", false, ""))
+    vectors.map { case (id, ty, treat, nullable) =>
+      val p = graft.core.TypeMap.jsonSchemaType(ty, treat, nullable)
+      (id, ty, treat, p.jsonTypes.mkString(","), p.airbyteType, p.customFormat,
+        graft.core.TypeMap.sparkType(ty, treat).sql)
+    }.toDF("case_id", "mysql_type", "treat_bool", "json_type", "airbyte_type",
+      "custom_format", "spark_type")
+  }
+
   /** A12/A13: shard enumeration + configured-subset validation. */
   private def shardEnum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -506,6 +535,7 @@ object SparkEntry {
     "norm_decimal" -> normDecimal,
     "gtid_order" -> gtidOrder,
     "catalog_gc_filter" -> catalogGcFilter,
+    "catalog_type_map" -> catalogTypeMap,
     "shard_enum" -> shardEnum,
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,
