@@ -45,6 +45,17 @@ object Main {
     withMaster.getOrCreate()
   }
 
+  /** `{"<keyspace>": {"<shard>": "<gtid>"}}` — the reference's starting_gtids
+    * JSON shape (`planetscale_connection.go:85-113`, README.md:160-197).
+    */
+  private def parseStartingGtids(json: String): Map[String, Map[String, String]] = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    root.properties().asScala.map { e =>
+      e.getKey -> e.getValue.properties().asScala.map(s => s.getKey -> s.getValue.asText()).toMap
+    }.toMap
+  }
+
   private def genConfig(o: Map[String, String]): GenConfig = GenConfig(
     seed = o.getOrElse("seed", "42").toLong,
     numEvents = o.getOrElse("events", "100000").toLong,
@@ -115,18 +126,46 @@ object Main {
         try {
           val root = o.getOrElse("table", sys.error("--table required"))
           val cp = o.getOrElse("checkpoint", sys.error("--checkpoint required"))
-          val t = new LakeTable(root, spark)
-          if (t.currentVersion.isEmpty) t.create(ChangeEvent.rowSchema, numBuckets =
-            o.getOrElse("buckets", "64").toInt)
-          val rc = CdcStream.RunConfig(genConfig(o), root, cp,
-            maxEventsPerTrigger = o.get("maxPerTrigger").map(_.toLong),
-            parityMode = o.get("parity").exists(_.toBoolean))
-          val t0 = System.nanoTime()
-          val batches = CdcStream.runAvailableNow(spark, rc)
-          val secs = (System.nanoTime() - t0) / 1e9
-          val rows = t.read().count()
-          val cursors = t.summaryValue("cursors").getOrElse("{}")
-          println(f"""{"type":"SYNC_SUMMARY","batches":$batches,"seconds":$secs%.1f,"table_rows":$rows,"version":${t.currentVersion.get},"state":$cursors}""")
+          val startingGtids = o.get("starting_gtids").map { path =>
+            val json = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(path)), "UTF-8")
+            parseStartingGtids(json)
+          }.getOrElse(Map.empty[String, Map[String, String]])
+          o.get("catalog") match {
+            case Some(catPath) =>
+              // multi-stream configured catalog (reference read.go:103-138):
+              // per-stream table + checkpoint, sync_mode honored
+              val catalog = graft.core.ConfiguredCatalog.fromJson(
+                new String(java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(catPath)), "UTF-8"))
+              val t0 = System.nanoTime()
+              val batches = CdcStream.runCatalog(spark, catalog, s =>
+                CdcStream.RunConfig(genConfig(o), s"$root/${s.name}", s"$cp/${s.name}",
+                  maxEventsPerTrigger = o.get("maxPerTrigger").map(_.toLong),
+                  parityMode = o.get("parity").exists(_.toBoolean),
+                  startingGtids = startingGtids,
+                  numBuckets = o.getOrElse("buckets", "64").toInt))
+              val secs = (System.nanoTime() - t0) / 1e9
+              val per = catalog.streams.map { s =>
+                val t = new LakeTable(s"$root/${s.name}", spark)
+                s"""{"stream":"${s.name}","sync_mode":"${s.syncMode}","batches":${batches(s.name)},"table_rows":${t.read().count()},"state":${t.summaryValue("cursors").getOrElse("{}")}}"""
+              }.mkString(",")
+              println(f"""{"type":"SYNC_SUMMARY","seconds":$secs%.1f,"streams":[$per]}""")
+            case None =>
+              val t = new LakeTable(root, spark)
+              if (t.currentVersion.isEmpty) t.create(ChangeEvent.rowSchema, numBuckets =
+                o.getOrElse("buckets", "64").toInt)
+              val rc = CdcStream.RunConfig(genConfig(o), root, cp,
+                maxEventsPerTrigger = o.get("maxPerTrigger").map(_.toLong),
+                parityMode = o.get("parity").exists(_.toBoolean),
+                startingGtids = startingGtids)
+              val t0 = System.nanoTime()
+              val batches = CdcStream.runAvailableNow(spark, rc)
+              val secs = (System.nanoTime() - t0) / 1e9
+              val rows = t.read().count()
+              val cursors = t.summaryValue("cursors").getOrElse("{}")
+              println(f"""{"type":"SYNC_SUMMARY","batches":$batches,"seconds":$secs%.1f,"table_rows":$rows,"version":${t.currentVersion.get},"state":$cursors}""")
+          }
         } finally spark.stop()
 
       case other =>

@@ -225,6 +225,19 @@ object OracleSql {
          (24,'float(30)',false,'number','','','DOUBLE')
          ) AS t(case_id, mysql_type, treat_bool, json_type, airbyte_type, custom_format, spark_type)""",
 
+    // expected resolution hand-derived from read.go:151-184 / read_test.go:15-115
+    "catalog_sync_modes" ->
+      """SELECT * FROM (VALUES
+         (1,'incremental',true,true,'state'),
+         (2,'incremental',true,false,'state'),
+         (3,'incremental',false,true,'starting_gtid'),
+         (4,'incremental',false,false,'blank'),
+         (5,'full_refresh',true,true,'starting_gtid'),
+         (6,'full_refresh',true,false,'blank'),
+         (7,'append',true,false,'blank'),
+         (8,'full_refresh',false,true,'starting_gtid')
+         ) AS t(case_id, sync_mode, has_state, has_starting_gtid, effective)""",
+
     "shard_enum" ->
       """SELECT * FROM (VALUES ('-20',true),('20-40',false),('40-60',false),('60-80',true),
          ('80-a0',false),('a0-c0',false),('c0-e0',false),('e0-',true)) AS t(shard, selected)""",

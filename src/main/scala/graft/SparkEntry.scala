@@ -350,6 +350,41 @@ object SparkEntry {
       "custom_format", "spark_type")
   }
 
+  /** A13 + multi-stream catalog: `readState`'s cursor-precedence truth table
+    * (`cmd/airbyte-source/read.go:151-184`, tested at `read_test.go:15-115`):
+    * prior state wins only when present AND incremental; `full_refresh` /
+    * `append` reset to starting_gtids (or blank).
+    */
+  private def catalogSyncModes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.{ConfiguredStream, ShardCursor, SyncState}
+    val shards = Seq("-80", "80-")
+    val statePos = "MySQL56/aaaaaaaa-0000-0000-0000-000000000000:1-42"
+    val gtidPos = "MySQL56/aaaaaaaa-0000-0000-0000-000000000000:1-7"
+    val cases = Seq(
+      (1, "incremental", true, true), (2, "incremental", true, false),
+      (3, "incremental", false, true), (4, "incremental", false, false),
+      (5, "full_refresh", true, true), (6, "full_refresh", true, false),
+      (7, "append", true, false), (8, "full_refresh", false, true))
+    cases.map { case (id, mode, hasState, hasGtid) =>
+      val stream = ConfiguredStream(s"t$id", "ks", mode)
+      val prior =
+        if (hasState) SyncState.empty.updated(stream.stateKey, ShardCursor("ks", "-80", statePos, None))
+        else SyncState.empty
+      val gtids =
+        if (hasGtid) Map("ks" -> Map("-80" -> gtidPos))
+        else Map.empty[String, Map[String, String]]
+      val out = SyncState.readState(prior, Seq(stream), shards, gtids)
+      val eff = out.cursorFor(stream.stateKey, "-80").map(_.position).getOrElse("?") match {
+        case `statePos` => "state"
+        case `gtidPos`  => "starting_gtid"
+        case ""         => "blank"
+        case other      => other
+      }
+      (id, mode, hasState, hasGtid, eff)
+    }.toDF("case_id", "sync_mode", "has_state", "has_starting_gtid", "effective")
+  }
+
   /** A12/A13: shard enumeration + configured-subset validation. */
   private def shardEnum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -536,6 +571,7 @@ object SparkEntry {
     "gtid_order" -> gtidOrder,
     "catalog_gc_filter" -> catalogGcFilter,
     "catalog_type_map" -> catalogTypeMap,
+    "catalog_sync_modes" -> catalogSyncModes,
     "shard_enum" -> shardEnum,
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,

@@ -24,6 +24,14 @@ final case class ShardCursor(
     */
   def serialized: String =
     Base64.getEncoder.encodeToString(CursorJson.toJson(this).getBytes("UTF-8"))
+
+  /** Copy-phase resume rule (`planetscale_edge_database.go:312-314`): a
+    * cursor holding a LastKnownPk clears its GTID position before the next
+    * sync — the COPY continues purely from the PK watermark — unless the
+    * `use_gtid_with_table_pks` option keeps both.
+    */
+  def forResume(useGtidWithTablePks: Boolean): ShardCursor =
+    if (lastPk.nonEmpty && !useGtidWithTablePks) copy(position = "") else this
 }
 
 object ShardCursor {
@@ -74,6 +82,29 @@ object SyncState {
           val pos = startingGtids.getOrElse(keyspace, Map.empty).getOrElse(shard, "")
           st.updated(stateKey, ShardCursor(keyspace, shard, pos, None))
       }
+    }
+
+  /** The reference's `readState` (`cmd/airbyte-source/read.go:151-184`):
+    * materialize state for a configured catalog. Per stream, the prior state
+    * wins ONLY when present AND incremental sync is requested; a missing
+    * cursor — or any non-incremental mode (`full_refresh`, `append` = cursor
+    * reset) — installs fresh initial cursors (blank, or the `starting_gtids`
+    * override for that keyspace/shard), REPLACING whatever was there.
+    */
+  def readState(
+      prior: SyncState,
+      streams: Seq[ConfiguredStream],
+      shards: Seq[String],
+      startingGtids: Map[String, Map[String, String]] = Map.empty): SyncState =
+    streams.foldLeft(prior) { (st, s) =>
+      val missing = !st.streams.contains(s.stateKey)
+      if (missing || !s.incrementalSyncRequested) {
+        val fresh = shards.map { sh =>
+          val pos = startingGtids.getOrElse(s.namespace, Map.empty).getOrElse(sh, "")
+          sh -> ShardCursor(s.namespace, sh, pos, None)
+        }.toMap
+        SyncState(st.streams.updated(s.stateKey, fresh))
+      } else st
     }
 }
 

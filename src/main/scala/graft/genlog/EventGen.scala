@@ -117,6 +117,28 @@ object EventGen {
   /** vgtid rank base for catch-up events: copy phase owns rank 1. */
   def copyRankBase(c: GenConfig): Long = if (c.copyRows > 0) 1L else 0L
 
+  /** Resolve a starting GTID to a row position in shard `shardIdx`'s unified
+    * offset space — the inverse of the closed-form vgtid stamped by
+    * [[catchupEvent]]. A position "through transaction G" means the copy
+    * phase is already done and catch-up events with gno ≤ G are consumed
+    * (the reference's `starting_gtids` semantics: resume the binlog tail
+    * from that position, no COPY — `planetscale_connection.go:85-113`).
+    */
+  def positionForGtid(shardIdx: Int, gtid: String, c: GenConfig): Long = {
+    val g = graft.core.VGtid.parse(gtid)
+    if (g.isEmpty) 0L
+    else {
+      val uuid = shardUuid(c.seed, shardIdx)
+      val maxGno = g.sets.getOrElse(uuid, Vector.empty).lastOption.map(_._2).getOrElse(0L)
+      if (maxGno <= 0L) 0L
+      else {
+        val catchupDone =
+          math.min(math.max(0L, maxGno - copyRankBase(c)), catchupPerShard(shardIdx, c))
+        copyPerShard(c) + catchupDone
+      }
+    }
+  }
+
   // ---- events -------------------------------------------------------------
 
   /** Catch-up event `k` (0-based) of shard `shardIdx`. */

@@ -29,7 +29,19 @@ object CdcStream {
       parityMode: Boolean = false,
       streamId: String = "default",
       compactEvery: Option[Int] = None,
-      maxFilesPerBucket: Int = 4)
+      maxFilesPerBucket: Int = 4,
+      startingGtids: Map[String, Map[String, String]] = Map.empty,
+      numBuckets: Int = 64)
+
+  private def startingGtidsJson(g: Map[String, Map[String, String]]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    g.toSeq.sortBy(_._1).foreach { case (ks, shards) =>
+      val n = root.putObject(ks)
+      shards.toSeq.sortBy(_._1).foreach { case (sh, pos) => n.put(sh, pos) }
+    }
+    mapper.writeValueAsString(root)
+  }
 
   def sourceOptions(rc: RunConfig): Map[String, String] = {
     val c = rc.gen
@@ -46,7 +58,9 @@ object CdcStream {
       "contentBlocks" -> c.contentBlocks.toString,
       "rowsPerPartition" -> rc.rowsPerPartition.toString) ++
       rc.maxEventsPerTrigger.map("maxEventsPerTrigger" -> _.toString) ++
-      rc.endSeq.map("endSeq" -> _.toString)
+      rc.endSeq.map("endSeq" -> _.toString) ++
+      (if (rc.startingGtids.nonEmpty)
+        Map("startingGtids" -> startingGtidsJson(rc.startingGtids)) else Map.empty)
   }
 
   /** Per-shard batch stats in ONE job: end cursor (max-rank vgtid — the
@@ -139,4 +153,34 @@ object CdcStream {
     q.stop()
     batches
   }
+
+  /** The reference's `read` verb over a configured catalog
+    * (`cmd/airbyte-source/read.go:103-138` + sync-mode handling
+    * `read.go:151-184`): one ingest pass per configured stream. A stream in
+    * `incremental` mode resumes from its checkpoint + table cursors; any
+    * non-incremental mode (`full_refresh`; `append` = cursor reset) DROPS
+    * the stream's checkpoint and lake table and re-ingests from scratch.
+    * Each stream gets its own table root + checkpoint under the run dirs
+    * (streams are independent queries — the parallelism axis the reference's
+    * sequential loop lacks). Returns batches applied per stream name.
+    */
+  def runCatalog(
+      spark: SparkSession,
+      catalog: graft.core.ConfiguredCatalog,
+      rcFor: graft.core.ConfiguredStream => RunConfig): Map[String, Long] =
+    catalog.streams.map { s =>
+      val rc0 = rcFor(s)
+      val rc = rc0.copy(gen = rc0.gen.copy(keyspace = s.namespace), streamId = s.stateKey)
+      val table = new LakeTable(rc.tableRoot, spark)
+      if (!s.incrementalSyncRequested) {
+        // cursor reset: checkpoint + table state discarded (read.go:169-180)
+        table.drop()
+        val cpPath = new org.apache.hadoop.fs.Path(rc.checkpoint)
+        val fs = cpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(cpPath)) fs.delete(cpPath, true)
+      }
+      if (table.currentVersion.isEmpty)
+        table.create(graft.core.ChangeEvent.rowSchema, rc.numBuckets)
+      s.name -> runAvailableNow(spark, rc)
+    }.toMap
 }

@@ -50,7 +50,22 @@ object ChangelogSource {
       gen: GenConfig,
       maxEventsPerTrigger: Long,
       rowsPerPartition: Long,
-      endSeq: Option[Long])
+      endSeq: Option[Long],
+      startingGtids: Map[String, String])
+
+  /** `startingGtids` option: the reference's `starting_gtids` JSON
+    * (`{"<keyspace>": {"<shard>": "<gtid>"}}`, README.md:160-197) — entries
+    * for this source's keyspace become per-shard initial positions. A
+    * checkpoint always beats this (Spark only calls `initialOffset()` when
+    * the checkpoint is empty — the reference's state-beats-starting_gtids
+    * precedence, `read_test.go:15-115`).
+    */
+  private def parseStartingGtids(json: String, keyspace: String): Map[String, String] = {
+    val root = new ObjectMapper().readTree(json)
+    Option(root.get(keyspace)).map { ks =>
+      ks.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+  }
 
   def parseOptions(opts: Map[String, String]): SourceOptions = {
     def l(k: String, d: Long) = opts.get(k).map(_.toLong).getOrElse(d)
@@ -70,7 +85,10 @@ object ChangelogSource {
         contentBlocks = i("contentBlocks", 8)),
       maxEventsPerTrigger = l("maxEventsPerTrigger", Long.MaxValue),
       rowsPerPartition = l("rowsPerPartition", 250000L),
-      endSeq = opts.get("endSeq").map(_.toLong))
+      endSeq = opts.get("endSeq").map(_.toLong),
+      startingGtids = opts.get("startingGtids")
+        .map(parseStartingGtids(_, opts.getOrElse("keyspace", "ks")))
+        .getOrElse(Map.empty))
   }
 }
 
@@ -122,8 +140,16 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
 
   @volatile private var availableNowHead: Option[ChangelogOffset] = None
 
+  /** A13 initial state: blank per-shard positions, overridden per shard by
+    * `startingGtids` (resolved to offsets). Called by Spark only when the
+    * checkpoint has no committed offset — state beats starting_gtids.
+    */
   override def initialOffset(): Offset =
-    ChangelogOffset((0 until c.numShards).map(_ -> 0L).toMap)
+    ChangelogOffset((0 until c.numShards).map { i =>
+      val shard = EventGen.shardName(c.numShards, i)
+      i -> opts.startingGtids.get(shard)
+        .map(g => EventGen.positionForGtid(i, g, c)).getOrElse(0L)
+    }.toMap)
 
   override def deserializeOffset(json: String): Offset = ChangelogOffset.fromJson(json)
 

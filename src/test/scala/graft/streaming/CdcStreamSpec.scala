@@ -91,6 +91,66 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assert(m.filter(col("vgtid_end").startsWith("MySQL56/")).count() == m.count())
   }
 
+  test("starting_gtids start the tail mid-binlog; checkpoint beats starting_gtids") {
+    val c = GenConfig(numEvents = 6000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
+    val base = tmpDir("startgtid")
+    val names = ChangelogGen.shardNames(c.numShards)
+    val g0 = s"MySQL56/${EventGen.shardUuid(c.seed, 0)}:1-1000"
+    val g1 = s"MySQL56/${EventGen.shardUuid(c.seed, 1)}:1-1500"
+    val starting = Map(c.keyspace -> Map(names(0) -> g0, names(1) -> g1))
+
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val rc = CdcStream.RunConfig(c, s"$base/t", s"$base/cp", startingGtids = starting)
+    CdcStream.runAvailableNow(spark, rc)
+
+    // only events past the starting positions were synced
+    val m = CdcStream.readMetrics(spark, s"$base/t")
+    val expected = (EventGen.catchupPerShard(0, c) - 1000) + (EventGen.catchupPerShard(1, c) - 1500)
+    assert(m.select(sum(col("rows"))).head().getLong(0) == expected)
+
+    // final state == batch replay of exactly the skipped-prefix-free stream
+    val oracle = new LakeTable(s"$base/oracle", spark)
+    oracle.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val filtered = ChangelogGen.fullStream(spark, c).filter(
+      (col("shard") === names(0) && col("event_seq") > 1000) ||
+      (col("shard") === names(1) && col("event_seq") > 1500))
+    graft.apply.CdcApply.replayAll(oracle, filtered, Map.empty)
+    assertParity(t, oracle.read())
+
+    // run 2 on the same checkpoint with DIFFERENT starting_gtids: checkpoint
+    // wins (reference state-beats-starting_gtids) → head unchanged, early exit
+    val rc2 = rc.copy(startingGtids = Map(c.keyspace -> Map(names(0) -> "", names(1) -> "")))
+    val applied = CdcStream.runAvailableNow(spark, rc2)
+    assert(applied == 0L, s"checkpoint should beat starting_gtids, applied $applied")
+  }
+
+  test("configured catalog: incremental resumes, full_refresh resets and re-ingests") {
+    val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
+    val base = tmpDir("catalog")
+    val cat = graft.core.ConfiguredCatalog(Seq(
+      graft.core.ConfiguredStream("a", c.keyspace, "incremental"),
+      graft.core.ConfiguredStream("b", c.keyspace, "full_refresh")))
+    def rcFor(s: graft.core.ConfiguredStream) =
+      CdcStream.RunConfig(c, s"$base/${s.name}", s"$base/cp/${s.name}", numBuckets = 4)
+
+    val r1 = CdcStream.runCatalog(spark, cat, rcFor)
+    assert(r1("a") > 0 && r1("b") > 0)
+    val want = ChangelogGen.expectedFinalState(spark, c)
+    assertParity(new LakeTable(s"$base/a", spark), want)
+    assertParity(new LakeTable(s"$base/b", spark), want)
+    val bVersion1 = new LakeTable(s"$base/b", spark).currentVersion.get
+
+    // second pass: incremental stream early-exits (nothing new); full_refresh
+    // stream is reset (cursor + table) and replays everything
+    val r2 = CdcStream.runCatalog(spark, cat, rcFor)
+    assert(r2("a") == 0L, s"incremental stream should early-exit, applied ${r2("a")}")
+    assert(r2("b") > 0L, "full_refresh stream should re-ingest")
+    val b = new LakeTable(s"$base/b", spark)
+    assert(b.currentVersion.get <= bVersion1, "table b should have been rebuilt from scratch")
+    assertParity(b, want)
+  }
+
   test("batch scan of the source equals the batch generator (same offsets)") {
     val c = GenConfig(numEvents = 5000L, numShards = 4, numRepos = 20, pathsPerRepo = 10,
       copyRows = 400L)
