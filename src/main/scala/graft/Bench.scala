@@ -37,7 +37,7 @@ object Bench {
     val totalEvents = c.numEvents + (0 until c.numShards).map(i =>
       EventGen.copyPerShard(c)).sum
     val t0 = System.nanoTime()
-    CdcApply.replayAll(table, ChangelogGen.fullStream(spark, c), Map.empty)
+    CdcApply.replayAll(table, ChangelogGen.fullStream(spark, c))
     val secs = (System.nanoTime() - t0) / 1e9
     table.drop()
     (totalEvents, secs)

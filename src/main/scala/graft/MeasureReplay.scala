@@ -29,7 +29,7 @@ object MeasureReplay {
     val table = new LakeTable(root, spark)
     table.create(ChangeEvent.rowSchema, buckets)
     val t0 = System.nanoTime()
-    CdcApply.replayAll(table, ChangelogGen.fullStream(spark, c), Map.empty)
+    CdcApply.replayAll(table, ChangelogGen.fullStream(spark, c))
     val secs = (System.nanoTime() - t0) / 1e9
     table.drop()
     secs

@@ -37,7 +37,7 @@ object SparkEntry {
     val root = java.nio.file.Files.createTempDirectory("graft-entry").toString + "/t"
     val table = new LakeTable(root, spark)
     table.create(ChangeEvent.rowSchema, numBuckets = 4)
-    CdcApply.replayAll(table, ChangelogGen.fullStream(spark, c), Map.empty)
+    CdcApply.replayAll(table, ChangelogGen.fullStream(spark, c))
     table.read().groupBy(col("repo"))
       .agg(count(lit(1)).as("n_files"), sum(length(col("content"))).as("n_bytes"))
   }
@@ -535,7 +535,7 @@ object SparkEntry {
     val root = java.nio.file.Files.createTempDirectory("graft-q").toString + "/t"
     val table = new LakeTable(root, s)
     table.create(ChangeEvent.rowSchema, numBuckets = 4)
-    CdcApply.replayAll(table, ChangelogGen.fullStream(s, c), Map.empty)
+    CdcApply.replayAll(table, ChangelogGen.fullStream(s, c))
     table.read().select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
   }
 

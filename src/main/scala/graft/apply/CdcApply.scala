@@ -1,18 +1,22 @@
 package graft.apply
 
-import graft.core.{ShardCursor, SyncState, VGtid}
+import graft.core.{LastPk, ShardCursor, ShardStats, SyncState, VGtid}
 import graft.functions.VGtidRankExpr.vgtid_rank
 import graft.laketable.{LakeTable, Snapshot}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Result of applying one micro-batch. */
+/** Result of applying one micro-batch. `stats` carries per-shard end cursors
+  * + lineage derived from the SAME job that staged the batch (no second
+  * source scan).
+  */
 final case class ApplyResult(
     snapshot: Snapshot,
     upserts: Long,
     deletes: Long,
-    skipped: Boolean)
+    skipped: Boolean,
+    stats: Map[String, ShardStats] = Map.empty)
 
 /** Distributed CDC apply: the Spark re-imagining of the reference's
   * single-threaded consume loop (`cmd/internal/planetscale_edge_database.go:
@@ -59,12 +63,16 @@ object CdcApply {
       .withColumn("_rank", vgtid_rank(col("vgtid")))
     val payload = events.columns.map(col) :+ col("_rank")
     // LwwMaxBy (TypedImperativeAggregate) instead of max_by(struct, struct):
-    // ObjectHashAggregate-eligible → hash probes, no per-partition sort
+    // ObjectHashAggregate-eligible → hash probes, no per-partition sort.
+    // `_key_events` (events folded into this key) rides along so per-shard
+    // processed-row counts can be recovered from the winners without
+    // re-scanning the source (sum of per-key counts = batch rows).
     keyed
       .groupBy(col("_repo"), col("_path"))
       .agg(graft.functions.LwwMaxBy.lww_max_by(
-        struct(payload: _*), col("_rank"), col("event_seq")).as("_win"))
-      .select(col("_repo"), col("_path"), col("_win.*"))
+        struct(payload: _*), col("_rank"), col("event_seq")).as("_win"),
+        count(lit(1)).as("_key_events"))
+      .select(col("_repo"), col("_path"), col("_win.*"), col("_key_events"))
   }
 
   /** Window-formulated LWW (reference semantics oracle for tests). */
@@ -78,14 +86,71 @@ object CdcApply {
     keyed.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Names of the per-shard stats sidecar columns staged as `_kind=s` rows
+    * (null on data rows; the all-null columns cost ~1 bit/row in parquet).
+    */
+  private val statsCols = Seq("_s_keyspace", "_s_shard", "_s_vend", "_s_catchup",
+    "_s_pk_repo", "_s_pk_path", "_s_rows")
+  private val statsColTypes = Seq("string", "string", "string", "int",
+    "string", "string", "bigint")
+
+  /** Per-shard stats aggregated from the LWW winners. Correct because within
+    * a shard events are totally ordered by `event_seq`: the shard's latest
+    * event is the latest for its key, so it always survives dedup — max over
+    * winners = max over the batch. Watermark rule (the reference clears
+    * LastKnownPk once the copy phase completes): any catch-up event in the
+    * shard nulls `last_pk`; otherwise the max-seq COPY row's watermark is
+    * kept. Keys never span shards, so per-key `_key_events` sums to the
+    * shard's processed rows.
+    */
+  private def statsRowsFromWinners(deduped: DataFrame): DataFrame =
+    deduped.groupBy(col("keyspace"), col("shard")).agg(
+      max_by(col("vgtid"), struct(col("_rank"), col("event_seq"))).as("_s_vend"),
+      max(when(col("is_copy_phase"), lit(0)).otherwise(lit(1))).as("_s_catchup"),
+      max_by(col("last_pk.repo"),
+        when(col("is_copy_phase"), col("event_seq")).otherwise(lit(-1L))).as("_s_pk_repo"),
+      max_by(col("last_pk.path"),
+        when(col("is_copy_phase"), col("event_seq")).otherwise(lit(-1L))).as("_s_pk_path"),
+      sum(col("_key_events")).as("_s_rows"))
+
+  /** Per-shard stats by re-aggregating the RAW batch (second source scan) —
+    * used only in parity mode, where deletes are filtered out before dedup
+    * but must still advance the cursor position (the reference advances on
+    * VGTID events regardless of row emission). The native path derives stats
+    * from the staged winners instead — one scan.
+    */
+  def statsFromEvents(batch: DataFrame, prevState: SyncState): Map[String, ShardStats] =
+    batch.groupBy(col("keyspace"), col("shard")).agg(
+      max_by(col("vgtid"), struct(vgtid_rank(col("vgtid")), col("event_seq"))).as("_s_vend"),
+      max(when(col("is_copy_phase"), lit(0)).otherwise(lit(1))).as("_s_catchup"),
+      max_by(col("last_pk.repo"),
+        when(col("is_copy_phase"), col("event_seq")).otherwise(lit(-1L))).as("_s_pk_repo"),
+      max_by(col("last_pk.path"),
+        when(col("is_copy_phase"), col("event_seq")).otherwise(lit(-1L))).as("_s_pk_path"),
+      count(lit(1)).as("_s_rows"))
+      .collect().map { r =>
+        statsFromRow(r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
+          Option(r.getString(4)), Option(r.getString(5)), r.getLong(6), prevState)
+      }.toMap
+
+  private def statsFromRow(ks: String, shard: String, vEnd: String, catchup: Int,
+      pkRepo: Option[String], pkPath: Option[String], rows: Long,
+      prevState: SyncState): (String, ShardStats) = {
+    val pk = if (catchup == 1) None
+             else for { r <- pkRepo; p <- pkPath } yield LastPk(r, p)
+    val prevPos = prevState.cursorFor(s"$ks:repo_content", shard).map(_.position).getOrElse("")
+    shard -> ShardStats(ShardCursor(ks, shard, vEnd, pk), rows, prevPos, vEnd)
+  }
+
   /** Apply one batch. Idempotent: replaying a batch whose id was already
     * committed (crash between sink write and checkpoint advance) is a no-op,
-    * which is what makes restart-from-checkpoint exactly-once.
+    * which is what makes restart-from-checkpoint exactly-once. Per-shard end
+    * cursors are derived INSIDE the staging job (stats sidecar rows under
+    * `_kind=s`), so the source is scanned exactly once per batch.
     */
   def applyBatch(
       table: LakeTable,
       events: DataFrame,
-      cursors: Map[String, ShardCursor],
       batchId: Long,
       streamId: String = "default",
       conf: ApplyConfig = ApplyConfig()): ApplyResult = {
@@ -98,11 +163,12 @@ object CdcApply {
     val already = snap.summary.get(key).exists(_.toLong >= batchId)
     if (already) return ApplyResult(snap, 0L, 0L, skipped = true)
 
+    val prevState = snap.summary.get("cursors").map(SyncState.fromJson).getOrElse(SyncState.empty)
     val filtered = if (conf.parityMode) events.filter(col("op") =!= "delete") else events
     val deduped = dedupLww(filtered)
     val spark = events.sparkSession
 
-    // --- stage (ONE job: gen/source → LWW window → bucket shuffle → parquet).
+    // --- stage (ONE job: gen/source → LWW combine → bucket shuffle → parquet).
     // Staged upsert files ARE the final data files (adopted by rename, no
     // rewrite): the heavy content bytes are written exactly once per batch.
     // Event payloads speak the table's ORIGINAL (v0) column names; after
@@ -111,6 +177,8 @@ object CdcApply {
     // since v0 fill null.
     val bucket = pmod(xxhash64(col("_repo")), lit(snap.numBuckets)).cast("int")
     val origById = snap.schemas(0).map(f => f.id -> f.name).toMap
+    def nullAs(ddl: String, name: String) =
+      lit(null).cast(org.apache.spark.sql.types.DataType.fromDDL(ddl)).as(name)
     val dataCols = snap.currentSchema.map { f =>
       origById.get(f.id) match {
         case Some("repo") => col("_repo").as(f.name)
@@ -121,20 +189,43 @@ object CdcApply {
         case Some("_graft_seq")          => col("event_seq").as(f.name)
         case Some("_graft_extracted_at") => current_timestamp().as(f.name)
         case Some(orig)   => coalesce(col(s"after.$orig"),
-          lit(null).cast(org.apache.spark.sql.types.DataType.fromDDL(f.dataType))).as(f.name)
-        case None => lit(null)
-          .cast(org.apache.spark.sql.types.DataType.fromDDL(f.dataType)).as(f.name)
+          nullAs(f.dataType, f.name)).as(f.name)
+        case None => nullAs(f.dataType, f.name)
       }
     }
-    val staged = deduped.select(dataCols ++ Seq(
+    // data rows + the per-shard stats sidecar in ONE union plan: both
+    // branches hang off the same dedup aggregation exchange (reused), so the
+    // source is scanned once and the cursors ride the same write job
+    val dataStaged = deduped.select(dataCols ++ Seq(
       when(col("op") === "delete", lit("d")).otherwise(lit("u")).as("_kind"),
-      bucket.as("_bucket")): _*)
+      bucket.as("_bucket")) ++
+      statsCols.zip(statsColTypes).map { case (n, t) => nullAs(t, n) }: _*)
+    val nullData = snap.currentSchema.map(f => nullAs(f.dataType, f.name))
+    val statsStaged = statsRowsFromWinners(deduped).select(nullData ++ Seq(
+      lit("s").as("_kind"), lit(0).as("_bucket"),
+      col("keyspace").cast("string").as("_s_keyspace"),
+      col("shard").cast("string").as("_s_shard"),
+      col("_s_vend"), col("_s_catchup"), col("_s_pk_repo"), col("_s_pk_path"),
+      col("_s_rows")): _*)
+    val staged = dataStaged.unionByName(statsStaged)
     val stage = table.stageWrite(staged.repartition(col("_bucket")))
     try {
       val affected = table.stagedBuckets(stage)
       // parquet-footer counts: no data rescan
       val upsertCount = table.stagedCount(spark, stage, "u")
       val deleteCount = table.stagedCount(spark, stage, "d")
+
+      // --- per-shard cursors/stats from the tiny staged sidecar (or, in
+      // parity mode, from a re-scan that still sees delete positions) ---
+      val stats: Map[String, ShardStats] =
+        if (conf.parityMode) statsFromEvents(events, prevState)
+        else table.stagedKindDf(spark, stage, "s").map { df =>
+          df.select(statsCols.map(col): _*).collect().map { r =>
+            statsFromRow(r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
+              Option(r.getString(4)), Option(r.getString(5)), r.getLong(6), prevState)
+          }.toMap
+        }.getOrElse(Map.empty)
+      val cursors = stats.map { case (s, st) => s -> st.cursor }
 
       // --- prune overwritten/deleted keys out of existing files (only the
       // affected buckets; anti-join against the column-pruned staged keys) ---
@@ -158,7 +249,6 @@ object CdcApply {
       val newFiles = table.adoptStagedUpserts(stage, snap.schemaVersion) ++ survivorFiles
 
       // --- transactional cursor + lineage commit ---
-      val prevState = snap.summary.get("cursors").map(SyncState.fromJson).getOrElse(SyncState.empty)
       val merged = cursors.values.foldLeft(prevState) { (st, c) =>
         val stateKey = s"${c.keyspace}:repo_content"
         // never move a cursor backwards (containment order, not lexicographic)
@@ -177,7 +267,7 @@ object CdcApply {
           key -> batchId.toString,
           "cursors" -> merged.toJson,
           s"lineage:b$batchId" -> lineage))
-      ApplyResult(committed, upsertCount, deleteCount, skipped = false)
+      ApplyResult(committed, upsertCount, deleteCount, skipped = false, stats = stats)
     } finally table.dropStage(stage)
   }
 
@@ -188,7 +278,6 @@ object CdcApply {
   def replayAll(
       table: LakeTable,
       stream: DataFrame,
-      cursors: Map[String, ShardCursor],
       conf: ApplyConfig = ApplyConfig()): ApplyResult =
-    applyBatch(table, stream, cursors, batchId = 0L, conf = conf)
+    applyBatch(table, stream, batchId = 0L, conf = conf)
 }

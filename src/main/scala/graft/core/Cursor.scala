@@ -42,6 +42,12 @@ object ShardCursor {
     CursorJson.fromJson(new String(Base64.getDecoder.decode(b64), "UTF-8"))
 }
 
+/** Per-shard batch statistics: the end cursor (batch-current position the
+  * reference stamps into metadata, `planetscale_edge_database.go:437-450`),
+  * processed row count, and the (prev, end] vgtid lineage range.
+  */
+final case class ShardStats(cursor: ShardCursor, rows: Long, vgtidStart: String, vgtidEnd: String)
+
 /** Full sync state: `streams: {"<keyspace>:<table>": {shards: {"-80": cursor}}}`
   * — shape of the reference's `SyncState`/`ShardStates`
   * (`cmd/internal/types.go:100-110`, key construction `read.go:108`).

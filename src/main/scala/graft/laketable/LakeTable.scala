@@ -183,18 +183,25 @@ final class LakeTable(val root: String, spark: SparkSession) {
     stage
   }
 
-  /** Parquet-footer row count of one staged kind (no data scan). */
-  private[graft] def stagedCount(spark2: SparkSession, stage: Path, kind: String): Long = {
+  /** The staged files of one `_kind` partition, if any were written. */
+  private[graft] def stagedKindDf(spark2: SparkSession, stage: Path,
+      kind: String): Option[DataFrame] = {
     val p = new Path(stage, s"_kind=$kind")
-    if (!fs.exists(p)) 0L
-    else spark2.read.parquet(p.toString).count()
+    if (!fs.exists(p)) None else Some(spark2.read.parquet(p.toString))
   }
 
-  /** Merge keys present in the staged batch — column-pruned read. */
+  /** Parquet-footer row count of one staged kind (no data scan). */
+  private[graft] def stagedCount(spark2: SparkSession, stage: Path, kind: String): Long =
+    stagedKindDf(spark2, stage, kind).map(_.count()).getOrElse(0L)
+
+  /** Merge keys present in the staged batch (upsert + delete kinds only;
+    * the tiny `s` stats sidecar has null keys) — column-pruned read.
+    */
   private[graft] def stagedKeys(spark2: SparkSession, stage: Path,
       keyCols: Seq[String]): DataFrame =
-    spark2.read.option("basePath", stage.toString).parquet(stage.toString)
-      .select(keyCols.map(col): _*)
+    Seq("u", "d").flatMap(stagedKindDf(spark2, stage, _))
+      .map(_.select(keyCols.map(col): _*))
+      .reduce(_.unionByName(_))
 
   /** Adopt staged upsert files as final data files (move, no rewrite). */
   private[graft] def adoptStagedUpserts(stage: Path, schemaVersion: Int): Seq[DataFileEntry] = {

@@ -1,12 +1,10 @@
 package graft.streaming
 
 import graft.apply.CdcApply
-import graft.core.ShardCursor
-import graft.functions.VGtidRankExpr.vgtid_rank
+import graft.core.ShardStats
 import graft.genlog.GenConfig
 import graft.laketable.LakeTable
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 
 /** Structured-Streaming CDC ingest driver — the re-imagined `read` verb
@@ -63,32 +61,6 @@ object CdcStream {
         Map("startingGtids" -> startingGtidsJson(rc.startingGtids)) else Map.empty)
   }
 
-  /** Per-shard batch stats in ONE job: end cursor (max-rank vgtid — the
-    * batch-current position the reference stamps into metadata,
-    * `planetscale_edge_database.go:437-450`), COPY-phase PK watermark, and
-    * per-shard row counts / vgtid range for the lineage + metrics table.
-    */
-  final case class ShardStats(cursor: ShardCursor, rows: Long, vgtidStart: String, vgtidEnd: String)
-
-  def shardStatsFromBatch(batch: DataFrame): Map[String, ShardStats] = {
-    batch.groupBy(col("keyspace"), col("shard"))
-      .agg(
-        max_by(col("vgtid"), vgtid_rank(col("vgtid"))).as("v_end"),
-        min_by(col("vgtid"), vgtid_rank(col("vgtid"))).as("v_start"),
-        max_by(struct(col("last_pk")), col("event_seq")).getField("last_pk").as("pk"),
-        count(lit(1)).as("rows"))
-      .collect().map { case Row(ks: String, shard: String, vEnd: String, vStart: String, pk, rows: Long) =>
-        val lastPk = Option(pk).map { r =>
-          val rr = r.asInstanceOf[Row]
-          graft.core.LastPk(rr.getString(0), rr.getString(1))
-        }
-        shard -> ShardStats(ShardCursor(ks, shard, vEnd, lastPk), rows, vStart, vEnd)
-      }.toMap
-  }
-
-  def cursorsFromBatch(batch: DataFrame): Map[String, ShardCursor] =
-    shardStatsFromBatch(batch).map { case (s, st) => s -> st.cursor }
-
   /** Append one row per (batch, shard) to the table's metrics sidecar —
     * per-partition lineage (shard, vgtid range, rows) + throughput, the
     * north-star's per-micro-batch metrics table.
@@ -128,13 +100,13 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
-        val stats = shardStatsFromBatch(batch)
-        val res = CdcApply.applyBatch(table, batch, stats.map { case (s, st) => s -> st.cursor },
-          batchId, streamId = rc.streamId,
+        // single source scan: cursors + lineage stats come back from the
+        // apply job itself (staged `_kind=s` sidecar), not a pre-scan here
+        val res = CdcApply.applyBatch(table, batch, batchId, streamId = rc.streamId,
           conf = CdcApply.ApplyConfig(parityMode = rc.parityMode))
         if (!res.skipped) {
           batches += 1
-          writeMetrics(spark, rc.tableRoot, batchId, stats,
+          writeMetrics(spark, rc.tableRoot, batchId, res.stats,
             (System.nanoTime() - t0) / 1000000L, res.snapshot.version)
           // periodic small-file compaction (its commit is separate from the
           // batch commit and content-neutral, so replays stay idempotent)

@@ -1,7 +1,7 @@
 package graft.apply
 
 import graft.SparkSupport
-import graft.core.{ChangeEvent, ShardCursor}
+import graft.core.ChangeEvent
 import graft.genlog.{ChangelogGen, GenConfig}
 import graft.laketable.LakeTable
 import org.apache.spark.sql.DataFrame
@@ -28,20 +28,12 @@ class ReplayParitySpec extends AnyFunSuite with SparkSupport {
     assert(want.exceptAll(got).isEmpty, "oracle rows not in engine")
   }
 
-  private def endCursors(c: GenConfig, events: DataFrame): Map[String, ShardCursor] = {
-    import org.apache.spark.sql.Row
-    events.groupBy("shard").agg(max("event_seq").as("m"), first("vgtid").as("v"))
-      .collect().map { case Row(shard: String, m: Long, v: String) =>
-        shard -> ShardCursor(c.keyspace, shard, v, None)
-      }.toMap
-  }
-
   test("single-batch replay reaches oracle state (catch-up only)") {
     val c = GenConfig(numEvents = 20000L, numShards = 4, numRepos = 60, pathsPerRepo = 40)
     val t = new LakeTable(tmpDir("replay") + "/t", spark)
     t.create(ChangeEvent.rowSchema, numBuckets = 8)
     val stream = ChangelogGen.changelog(spark, c)
-    val res = CdcApply.replayAll(t, stream, endCursors(c, stream))
+    val res = CdcApply.replayAll(t, stream)
     assert(!res.skipped && res.upserts > 0)
     assertParity(t, ChangelogGen.expectedFinalState(spark, c))
   }
@@ -51,7 +43,7 @@ class ReplayParitySpec extends AnyFunSuite with SparkSupport {
       pathsPerRepo = 40, copyRows = 3000L)
     val t = new LakeTable(tmpDir("replay") + "/t", spark)
     t.create(ChangeEvent.rowSchema, numBuckets = 8)
-    val res = CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c), Map.empty)
+    val res = CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c))
     assert(!res.skipped)
     assertParity(t, ChangelogGen.expectedFinalState(spark, c))
   }
@@ -65,14 +57,14 @@ class ReplayParitySpec extends AnyFunSuite with SparkSupport {
     val b1 = all.filter(col("event_seq") <= cut)
     val b2 = all.filter(col("event_seq") > cut)
 
-    val r1 = CdcApply.applyBatch(t, b1, endCursors(c, b1), batchId = 1L)
+    val r1 = CdcApply.applyBatch(t, b1, batchId = 1L)
     assert(!r1.skipped)
     // crash-replay of batch 1 after commit → no-op, version unchanged
     val v = t.currentVersion.get
-    val r1b = CdcApply.applyBatch(t, b1, endCursors(c, b1), batchId = 1L)
+    val r1b = CdcApply.applyBatch(t, b1, batchId = 1L)
     assert(r1b.skipped && t.currentVersion.contains(v))
 
-    val r2 = CdcApply.applyBatch(t, b2, endCursors(c, b2), batchId = 2L)
+    val r2 = CdcApply.applyBatch(t, b2, batchId = 2L)
     assert(!r2.skipped)
     assertParity(t, ChangelogGen.expectedFinalState(spark, c))
 
@@ -80,6 +72,41 @@ class ReplayParitySpec extends AnyFunSuite with SparkSupport {
     val cur = t.summaryValue("cursors")
     assert(cur.exists(_.contains("MySQL56/")))
     all.unpersist()
+  }
+
+  test("single-scan stats: per-shard cursors/rows derived from the staged winners; " +
+    "copy→catchup boundary clears the PK watermark (A6, database.go:383-393)") {
+    val c = GenConfig(numEvents = 2000L, numShards = 2, numRepos = 10, pathsPerRepo = 5,
+      copyRows = 400L)
+    import graft.genlog.EventGen
+
+    // mid-copy batch only: every shard cursor carries the max-seq LASTPK
+    val t1 = new LakeTable(tmpDir("wm") + "/t1", spark)
+    t1.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val midCopy = ChangelogGen.fullStream(spark, c).filter(col("is_copy_phase"))
+    val r1 = CdcApply.replayAll(t1, midCopy)
+    assert(r1.stats.size == c.numShards)
+    (0 until c.numShards).foreach { i =>
+      val name = ChangelogGen.shardNames(c.numShards)(i)
+      val want = EventGen.copyEvent(i, EventGen.copyPerShard(c) - 1, c,
+        EventGen.sortedPaths(c)).last_pk
+      assert(r1.stats(name).cursor.lastPk == want, s"shard $name watermark")
+      assert(r1.stats(name).rows == EventGen.copyPerShard(c))
+    }
+
+    // batch spanning the copy→catchup boundary: watermark cleared, cursor at
+    // the max CATCH-UP position (a stale mid-COPY pk must not survive)
+    val t2 = new LakeTable(tmpDir("wm") + "/t2", spark)
+    t2.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val full = ChangelogGen.fullStream(spark, c)
+    val r2 = CdcApply.replayAll(t2, full)
+    assert(r2.stats.values.forall(_.cursor.lastPk.isEmpty), "watermark must clear post-copy")
+    (0 until c.numShards).foreach { i =>
+      val name = ChangelogGen.shardNames(c.numShards)(i)
+      val endRank = EventGen.catchupPerShard(i, c) + EventGen.copyRankBase(c)
+      assert(graft.core.VGtid.rank(r2.stats(name).cursor.position) == endRank)
+    }
+    assert(r2.stats.values.map(_.rows).sum == full.count())
   }
 
   test("dedupLww (max_by combine) ≡ dedupLwwWindow (reference window shape)") {
@@ -98,7 +125,7 @@ class ReplayParitySpec extends AnyFunSuite with SparkSupport {
     val c = GenConfig(numEvents = 3000L, numShards = 2, numRepos = 10, pathsPerRepo = 5)
     val t = new LakeTable(tmpDir("meta") + "/t", spark)
     t.create(ChangeEvent.rowSchemaWithMeta, numBuckets = 4)
-    CdcApply.replayAll(t, ChangelogGen.changelog(spark, c), Map.empty)
+    CdcApply.replayAll(t, ChangelogGen.changelog(spark, c))
     val df = t.read()
     assert(df.columns.contains("_graft_vgtid") && df.columns.contains("_graft_seq"))
     assert(df.filter(col("_graft_vgtid").startsWith("MySQL56/")).count() == df.count())
@@ -117,7 +144,7 @@ class ReplayParitySpec extends AnyFunSuite with SparkSupport {
       pathsPerRepo = 20, deleteRatio = 0.2)
     val t = new LakeTable(tmpDir("replay") + "/t", spark)
     t.create(ChangeEvent.rowSchema, numBuckets = 4)
-    CdcApply.replayAll(t, ChangelogGen.changelog(spark, c), Map.empty,
+    CdcApply.replayAll(t, ChangelogGen.changelog(spark, c),
       CdcApply.ApplyConfig(parityMode = true))
     // oracle for parity mode: last non-delete event per key always survives
     val ev = ChangelogGen.changelog(spark, c).filter(col("op") =!= "delete")

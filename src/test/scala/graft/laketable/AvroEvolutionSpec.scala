@@ -46,13 +46,13 @@ class AvroEvolutionSpec extends AnyFunSuite with SparkSupport {
     t.create(ChangeEvent.rowSchema, numBuckets = 4)
     val all = ChangelogGen.changelog(spark, c)
     // batch 1 under v1 names
-    CdcApply.applyBatch(t, all.filter(col("event_seq") <= 3000), Map.empty, 1L)
+    CdcApply.applyBatch(t, all.filter(col("event_seq") <= 3000), 1L)
     val beforeRows = t.read().count()
     // evolve: content→body (alias rename), +stars
     AvroSchema.evolve(t, v1, v2)
     assert(t.read().columns.toSeq == Seq("repo", "path", "commit", "lang", "body", "stars"))
     // batch 2 events still speak v1 names; apply maps by field id
-    CdcApply.applyBatch(t, all.filter(col("event_seq") > 3000), Map.empty, 2L)
+    CdcApply.applyBatch(t, all.filter(col("event_seq") > 3000), 2L)
     val df = t.read()
     assert(df.columns.contains("body") && !df.columns.contains("content"))
     // final state parity vs oracle (oracle speaks v1 names → rename to compare)

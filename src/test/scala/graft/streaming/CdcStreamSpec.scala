@@ -115,7 +115,7 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     val filtered = ChangelogGen.fullStream(spark, c).filter(
       (col("shard") === names(0) && col("event_seq") > 1000) ||
       (col("shard") === names(1) && col("event_seq") > 1500))
-    graft.apply.CdcApply.replayAll(oracle, filtered, Map.empty)
+    graft.apply.CdcApply.replayAll(oracle, filtered)
     assertParity(t, oracle.read())
 
     // run 2 on the same checkpoint with DIFFERENT starting_gtids: checkpoint

@@ -17,7 +17,7 @@ object DriveReplay {
     val t = new LakeTable(dir + "/t", spark)
     t.create(ChangeEvent.rowSchema, numBuckets = 8)
     val t0 = System.nanoTime()
-    val res = CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c), Map.empty)
+    val res = CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c))
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"APPLIED upserts=${res.upserts} deletes=${res.deletes} version=${res.snapshot.version} in $secs%.1fs (${(c.numEvents + c.copyRows) / secs}%.0f ev/s)")
     val got = t.read().select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
@@ -26,7 +26,7 @@ object DriveReplay {
     println("PARITY=" + (got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty) + " rows=" + got.count())
     // probe: replay same batch id again → must be a no-op at same version
     val v = t.currentVersion.get
-    val again = CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c), Map.empty)
+    val again = CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c))
     println("PROBE_IDEMPOTENT=" + (again.skipped && t.currentVersion.contains(v)))
     // probe: evolve schema then read old data through the rename
     t.evolveSchema(Map("content" -> "body"), Seq("stars" -> "INT"))

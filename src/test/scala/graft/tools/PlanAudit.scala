@@ -39,7 +39,7 @@ object PlanAudit {
     val c = GenConfig(numEvents = 3000L, numShards = 2, numRepos = 10, pathsPerRepo = 5)
     val root = java.nio.file.Files.createTempDirectory("audit").toString + "/t"
     val t = new LakeTable(root, spark); t.create(ChangeEvent.rowSchema, 4)
-    CdcApply.replayAll(t, ChangelogGen.changelog(spark, c), Map.empty)
+    CdcApply.replayAll(t, ChangelogGen.changelog(spark, c))
     val lake = t.read().filter(col("repo") === "repo-0001").select("repo", "path")
     audit("laketable-read", lake,
       ("pushdown of repo filter", s => s.contains("PushedFilters") && s.contains("EqualTo(repo,repo-0001)")),

@@ -24,7 +24,7 @@ object ProfileApply {
     // warmup
     { val root = java.nio.file.Files.createTempDirectory("pw").toString + "/t"
       val t = new LakeTable(root, spark); t.create(ChangeEvent.rowSchema, 4)
-      CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c.copy(numEvents=20000, copyRows=2000)), Map.empty); t.drop() }
+      CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c.copy(numEvents=20000, copyRows=2000))); t.drop() }
     val root = java.nio.file.Files.createTempDirectory("pa").toString + "/t"
     val table = new LakeTable(root, spark)
     val snap0 = table.create(ChangeEvent.rowSchema, 64)

@@ -24,7 +24,7 @@ object ProfileReplay {
     time("warmup-tiny") {
       val root = java.nio.file.Files.createTempDirectory("p0").toString + "/t"
       val t = new LakeTable(root, spark); t.create(ChangeEvent.rowSchema, 4)
-      CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c.copy(numEvents=20000, copyRows=2000)), Map.empty); t.drop()
+      CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c.copy(numEvents=20000, copyRows=2000))); t.drop()
     }
     time("gen-count") { println("  rows=" + ChangelogGen.fullStream(spark, c).count()) }
     time("gen-write-parquet") {
@@ -37,7 +37,7 @@ object ProfileReplay {
     val t = new LakeTable(root, spark)
     t.create(ChangeEvent.rowSchema, 64)
     time("full-replay") {
-      CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c), Map.empty)
+      CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c))
     }
     println("  final rows=" + t.read().count())
     t.drop()

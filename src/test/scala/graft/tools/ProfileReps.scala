@@ -20,12 +20,12 @@ object ProfileReps {
     // warmup
     locally { val root = java.nio.file.Files.createTempDirectory("pw").toString + "/t"
       val t = new LakeTable(root, spark); t.create(ChangeEvent.rowSchema, 4)
-      CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c.copy(numEvents=20000, copyRows=2000)), Map.empty); t.drop() }
+      CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c.copy(numEvents=20000, copyRows=2000))); t.drop() }
     for (i <- 1 to 3) {
       val root = java.nio.file.Files.createTempDirectory("pr").toString + "/t"
       val t = new LakeTable(root, spark); t.create(ChangeEvent.rowSchema, 64)
       val t0 = System.nanoTime()
-      CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c), Map.empty)
+      CdcApply.replayAll(t, ChangelogGen.fullStream(spark, c))
       println(f"REP$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
       t.drop()
     }
