@@ -165,12 +165,14 @@ object OracleSql {
            ON e.event_type = s.event_type AND e.event_id <= s.stop_id
          GROUP BY 1""",
 
+    // out-of-range index ('9') and zero SET mask ('0') return the ORIGINAL
+    // value (mapEnumValue/mapSetValue fallthroughs, types.go:334-386)
     "norm_enum" ->
       """SELECT * FROM (VALUES ('0',''),('1','active'),('2','inactive'),('3','archived'),
-         ('9',''),('active','active'),('x','x')) AS t(v, label)""",
+         ('9','9'),('active','active'),('x','x')) AS t(v, label)""",
 
     "norm_set" ->
-      """SELECT * FROM (VALUES ('0',''),('1','San Francisco'),('3','San Francisco,New York'),
+      """SELECT * FROM (VALUES ('0','0'),('1','San Francisco'),('3','San Francisco,New York'),
          ('24','San Jose,Oakland'),
          ('31','San Francisco,New York,London,San Jose,Oakland'),
          ('London','London'),('x','x')) AS t(v, labels)""",
@@ -184,13 +186,30 @@ object OracleSql {
          ('0000-00-00 00:00:00','1970-01-01T00:00:00.000000','1970-01-01'),
          ('1999-12-31 23:59:59','1999-12-31T23:59:59.000000','1999-12-31')) AS t(v, iso, d)""",
 
+    // TIMESTAMP renders WITH the +00:00 offset; TIME takes the default branch
+    // (datetime layout, bare times pass through) — types_test.go:158-198
+    "norm_timestamp_tz" ->
+      """SELECT * FROM (VALUES
+         ('2025-02-14 08:08:08','2025-02-14T08:08:08.000000+00:00'),
+         ('0000-00-00 00:00:00','1970-01-01T00:00:00.000000+00:00'),
+         ('1999-12-31 23:59:59','1999-12-31T23:59:59.000000+00:00'),
+         ('not-a-time','not-a-time')) AS t(v, iso_tz)""",
+
+    "norm_time" ->
+      """SELECT * FROM (VALUES
+         ('2025-02-14 08:08:08','2025-02-14T08:08:08.000000+00:00'),
+         ('08:08:08','08:08:08'),
+         ('0000-00-00 00:00:00','1970-01-01T00:00:00.000000+00:00')) AS t(v, t)""",
+
     "norm_decimal" ->
       """SELECT * FROM (VALUES ('.33','0.33'),('-.77','-0.77'),('0.5','0.5'),
          ('12.34','12.34'),('-0.1','-0.1')) AS t(v, fixed)""",
 
+    // cases 6-8: blank positions never after/equal (database.go:617-652 guards)
     "gtid_order" ->
       """SELECT * FROM (VALUES (1,true,false),(2,false,false),(3,true,false),
-         (4,false,true),(5,false,true),(6,false,false)) AS t(case_id, x_after_y, x_eq_y)""",
+         (4,false,true),(5,false,true),(6,false,false),(7,false,false),
+         (8,false,false)) AS t(case_id, x_after_y, x_eq_y)""",
 
     "catalog_gc_filter" ->
       """SELECT * FROM (VALUES ('users'),('orders'),('products')) AS t(table_name)""",

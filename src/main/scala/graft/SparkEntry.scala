@@ -285,26 +285,44 @@ object SparkEntry {
         N.isoDate(substring(col("v"), 1, 10)).as("d"))
   }
 
+  private def normTimestampTz(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq("2025-02-14 08:08:08", "0000-00-00 00:00:00", "1999-12-31 23:59:59", "not-a-time")
+      .toDF("v")
+      .select(col("v"), N.isoTimestampTz(col("v")).as("iso_tz"))
+  }
+
+  private def normTime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq("2025-02-14 08:08:08", "08:08:08", "0000-00-00 00:00:00").toDF("v")
+      .select(col("v"), N.isoTime(col("v")).as("t"))
+  }
+
   private def normDecimal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Seq(".33", "-.77", "0.5", "12.34", "-0.1").toDF("v")
       .select(col("v"), N.decimalFix(col("v")).as("fixed"))
   }
 
-  /** A5: GTID-set containment order — multi-UUID vectors, NOT lexicographic. */
+  /** A5: GTID-set containment order — multi-UUID vectors, NOT lexicographic;
+    * blank positions never compare after/equal (reference string-level
+    * guards, `planetscale_edge_database.go:617-652`).
+    */
   private def gtidOrder(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val a = "0d5afdd6-54a0-11eb-936d-0a8939501751"
     val b = "e1e896df-54a0-11eb-a26c-0e8d6a9fbf6f"
-    val after = udf((x: String, y: String) => VGtid.parse(x).after(VGtid.parse(y)))
-    val eq = udf((x: String, y: String) => VGtid.parse(x).positionEqual(VGtid.parse(y)))
+    val after = udf((x: String, y: String) => VGtid.positionAfter(x, y))
+    val eq = udf((x: String, y: String) => VGtid.positionEqual(x, y))
     Seq(
       (1, s"MySQL56/$a:1-9,$b:1-3", s"MySQL56/$a:1-5"),
       (2, s"MySQL56/$a:1-5", s"MySQL56/$a:1-9,$b:1-3"),
       (3, s"MySQL56/$a:1-10", s"MySQL56/$a:1-5"),
       (4, s"MySQL56/$a:1-3:4-6", s"MySQL56/$a:1-6"),
       (5, s"MySQL56/$b:1-3,$a:1-2", s"MySQL56/$a:1-2,$b:1-3"),
-      (6, "", s"MySQL56/$a:1-2")
+      (6, "", s"MySQL56/$a:1-2"),
+      (7, s"MySQL56/$a:1-2", ""),
+      (8, "", "")
     ).toDF("case_id", "x", "y")
       .select(col("case_id"), after(col("x"), col("y")).as("x_after_y"),
         eq(col("x"), col("y")).as("x_eq_y"))
@@ -567,6 +585,8 @@ object SparkEntry {
     "norm_set" -> normSet,
     "norm_tinyint" -> normTinyint,
     "norm_datetime" -> normDatetime,
+    "norm_timestamp_tz" -> normTimestampTz,
+    "norm_time" -> normTime,
     "norm_decimal" -> normDecimal,
     "gtid_order" -> gtidOrder,
     "catalog_gc_filter" -> catalogGcFilter,

@@ -251,9 +251,10 @@ object CdcApply {
       // --- transactional cursor + lineage commit ---
       val merged = cursors.values.foldLeft(prevState) { (st, c) =>
         val stateKey = s"${c.keyspace}:repo_content"
-        // never move a cursor backwards (containment order, not lexicographic)
+        // never move a cursor backwards (containment order, not lexicographic;
+        // blank positions never compare after — reference positionAfter guard)
         val keep = st.cursorFor(stateKey, c.shard) match {
-          case Some(old) if VGtid.parse(old.position).after(VGtid.parse(c.position)) => old
+          case Some(old) if VGtid.positionAfter(old.position, c.position) => old
           case _ => c
         }
         st.updated(stateKey, keep)

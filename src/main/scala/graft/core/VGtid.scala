@@ -60,6 +60,25 @@ final case class VGtid(sets: Map[String, Vector[(Long, Long)]]) {
 object VGtid {
   val empty: VGtid = VGtid(Map.empty)
 
+  /** Reference `positionEqual` at the STRING level
+    * (`planetscale_edge_database.go:617-633`): a blank or malformed position
+    * is never equal to anything — including another blank. (The set algebra
+    * above keeps `empty.positionEqual(empty) == true`, the mathematical
+    * view; engine code comparing cursor strings uses these guards.)
+    */
+  def positionEqual(a: String, b: String): Boolean =
+    a.nonEmpty && b.nonEmpty && (
+      try parse(a).positionEqual(parse(b))
+      catch { case _: IllegalArgumentException => false })
+
+  /** Reference `positionAfter` (`:636-652`): false when either side is
+    * blank or malformed; otherwise strictly-greater containment.
+    */
+  def positionAfter(a: String, b: String): Boolean =
+    a.nonEmpty && b.nonEmpty && (
+      try parse(a).after(parse(b))
+      catch { case _: IllegalArgumentException => false })
+
   /** Sort and coalesce intervals; adjacent/overlapping intervals merge. */
   def coalesce(iv: Vector[(Long, Long)]): Vector[(Long, Long)] = {
     val sorted = iv.filter { case (s, e) => s <= e }.sortBy(_._1)

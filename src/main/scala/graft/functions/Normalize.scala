@@ -10,52 +10,75 @@ import org.apache.spark.sql.functions._
 object Normalize {
 
   /** ENUM index → label (`types.go:363-386`): post-COPY events carry the
-    * 1-based index ("1" → first label); "0" → ""; a non-numeric value is
-    * already the label and passes through; out-of-range index → "".
+    * 1-based index ("1" → first label); index 0 is MySQL's empty-string
+    * error value → ""; a non-numeric value is already the label and passes
+    * through; an OUT-OF-RANGE index returns the original value (reference
+    * `mapEnumValue`'s final fallthrough).
     */
   def mysqlEnum(c: Column, labels: Seq[String]): Column = {
     val lab = array(labels.map(lit): _*)
     when(c.rlike("^[0-9]+$"),
       when(c === "0", lit(""))
-        .otherwise(coalesce(try_element_at(lab, c.cast("int")), lit(""))))
+        .otherwise(coalesce(try_element_at(lab, c.cast("int")), c)))
       .otherwise(c)
   }
 
   /** SET bitmask → comma-joined labels (`types.go:334-361`): decimal value's
-    * bit i selects labels(i); non-numeric passes through. Test vector from
-    * the reference: 24 over {SF,NY,London,San Jose,Oakland} → "San Jose,Oakland"
+    * bit i selects labels(i); non-numeric passes through; when NO bits map
+    * (zero mask) the original value is returned (reference `mapSetValue`'s
+    * empty-result fallthrough). Bit extraction is exact
+    * shiftright/bitwiseAND (a double `pow` would lose exactness past 53
+    * labels; MySQL SET allows 64). Test vector from the reference: 24 over
+    * {SF,NY,London,San Jose,Oakland} → "San Jose,Oakland"
     * (`types_test.go:84,106`).
     */
   def mysqlSet(c: Column, labels: Seq[String]): Column = {
-    val lab = array(labels.map(lit): _*)
     val mask = c.cast("long")
     val picked = filter(
-      transform(sequence(lit(0), lit(labels.size - 1)), i =>
-        when((mask.divide(pow(lit(2.0), i.cast("double"))).cast("long") % 2) === 1,
-          element_at(lab, i + 1))),
+      array(labels.zipWithIndex.map { case (label, i) =>
+        when(shiftrightunsigned(mask, i).bitwiseAND(lit(1L)) === 1, lit(label))
+      }: _*),
       x => x.isNotNull)
-    when(c.rlike("^[0-9]+$"), array_join(picked, ",")).otherwise(c)
+    when(c.rlike("^[0-9]+$"),
+      when(size(picked) === 0, c).otherwise(array_join(picked, ",")))
+      .otherwise(c)
   }
 
   /** tinyint(1) → boolean (`types.go:243-256`): nonzero → true. */
   def tinyintBool(c: Column): Column = c.cast("long") =!= 0
 
   /** DATETIME string → ISO-8601 without offset, microsecond precision;
-    * MySQL zero-dates map to the Unix epoch (`types.go:274-332`).
+    * MySQL zero-dates map to the Unix epoch; an unparseable value falls back
+    * to the ORIGINAL (reference `formatISO8601`, `types.go:274-332`).
     */
   def isoDatetime(c: Column): Column =
     when(c.startsWith("0000-00-00"), lit("1970-01-01T00:00:00.000000"))
-      .otherwise(date_format(to_timestamp(c), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .otherwise(coalesce(
+        date_format(try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), c))
 
-  /** DATE string → yyyy-MM-dd; zero-date → epoch date. */
+  /** DATE string → yyyy-MM-dd; zero-date → epoch date; fallback original. */
   def isoDate(c: Column): Column =
     when(c === "0000-00-00", lit("1970-01-01"))
-      .otherwise(date_format(to_date(c), "yyyy-MM-dd"))
+      .otherwise(coalesce(
+        date_format(try_to_timestamp(c, lit("yyyy-MM-dd")), "yyyy-MM-dd"), c))
 
-  /** TIMESTAMP string → ISO-8601 with UTC offset (`types.go:300-310`). */
+  /** TIMESTAMP string → ISO-8601 WITH UTC offset (`types.go:300-310`,
+    * layout `2006-01-02T15:04:05.000000-07:00`, UTC renders `+00:00`);
+    * zero-date → epoch; unparseable → original.
+    */
   def isoTimestampTz(c: Column): Column =
     when(c.startsWith("0000-00-00"), lit("1970-01-01T00:00:00.000000+00:00"))
-      .otherwise(date_format(to_timestamp(c), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
+      .otherwise(coalesce(
+        date_format(try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"), c))
+
+  /** TIME values take the reference's DEFAULT branch (`Type_TIME` is in the
+    * fallthrough list, `types.go:289-299`): attempt the datetime parse with
+    * the offset layout, and since a bare `HH:mm:ss` never parses, pass it
+    * through unchanged — byte-exact reference behavior.
+    */
+  def isoTime(c: Column): Column = isoTimestampTz(c)
 
   /** Decimal leading-zero fix (`types.go:222-241`): ".33" → "0.33", "-.77" → "-0.77". */
   def decimalFix(c: Column): Column =

@@ -69,10 +69,18 @@ final class LakeTable(val root: String, spark: SparkSession) {
 
   def currentVersion: Option[Long] = {
     val f = fs
-    if (!f.exists(hintFile)) None
-    else {
+    if (f.exists(hintFile)) {
       val in = new BufferedReader(new InputStreamReader(f.open(hintFile), StandardCharsets.UTF_8))
       try Some(in.readLine().trim.toLong) finally in.close()
+    } else if (!f.exists(metaDir)) None
+    else {
+      // crash recovery: a failure between hint delete and rename leaves no
+      // version-hint — the table is NOT gone; recover from the snapshot
+      // listing (max committed v<N>.json)
+      val versions = f.listStatus(metaDir).toSeq
+        .map(_.getPath.getName)
+        .collect { case VersionJsonRe(v) => v.toLong }
+      if (versions.isEmpty) None else Some(versions.max)
     }
   }
 
@@ -89,9 +97,17 @@ final class LakeTable(val root: String, spark: SparkSession) {
   private def writeSnapshot(s: Snapshot): Unit = {
     val f = fs
     f.mkdirs(metaDir)
+    // snapshot json lands via temp-write + rename: a crash after v<N>.json
+    // but before the hint swap leaves a stale orphan that the REPLAYED batch
+    // (same content, single writer) simply renames over — no
+    // FileAlreadyExists crash-loop on restart
     val p = new Path(metaDir, s"v${s.version}.json")
-    val out = f.create(p, false)
+    val tmpJson = new Path(metaDir, s".v${s.version}.${UUID.randomUUID()}.tmp")
+    val out = f.create(tmpJson, true)
     try out.write(snapshotToJson(s).getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmpJson, p))
+      throw new IllegalStateException(s"failed to write snapshot v${s.version}")
     // atomic pointer swap: write tmp hint then rename over the old one
     val tmp = new Path(metaDir, s".version-hint.${UUID.randomUUID()}.tmp")
     val o2 = f.create(tmp, true)
@@ -322,6 +338,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
 
 object LakeTable {
   private val mapper = new ObjectMapper()
+  private val VersionJsonRe = """v(\d+)\.json""".r
 
   def bucketExpr(numBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col("repo")), lit(numBuckets)).cast("int")

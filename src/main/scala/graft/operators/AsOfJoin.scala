@@ -19,6 +19,12 @@ object AsOfJoin {
     * rows with no prior right row are dropped). `rightCols` must not collide
     * with left column names. Right-side ties on (keys, time) must be
     * pre-deduped by the caller for deterministic output.
+    *
+    * The right payload rides as ONE packed struct filled with a single
+    * `last(ignoreNulls)` pass, so every matched value comes from the SAME
+    * right row even when right columns are individually nullable, and the
+    * match marker is the struct itself (never-null for a real right row) —
+    * not a payload column.
     */
   def asof(
       left: DataFrame,
@@ -28,28 +34,29 @@ object AsOfJoin {
       rightTime: String,
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rStructType = org.apache.spark.sql.types.StructType(rightCols.map(right.schema(_)))
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_is_left", lit(1))
       .select((keys.map(col) ++ Seq(col("_t"), col("_is_left"))
         ++ leftCols.filterNot(keys.contains).map(col)
-        ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+        ++ Seq(lit(null).cast(rStructType).as("_r"))): _*)
     val r = right
       .withColumn("_t", col(rightTime))
       .withColumn("_is_left", lit(0))
       .select((keys.map(col) ++ Seq(col("_t"), col("_is_left"))
         ++ leftCols.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))
-        ++ rightCols.map(col)): _*)
+        ++ Seq(struct(rightCols.map(col): _*).as("_r"))): _*)
     // right rows sort BEFORE left rows at equal time → "<=" semantics
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_is_left") === 1 && col(rightCols.head).isNotNull)
-      .drop("_t", "_is_left")
+    val filled = l.unionByName(r)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+    filled.filter(col("_is_left") === 1 && col("_r").isNotNull)
+      .select((keys.map(col) ++ leftCols.filterNot(keys.contains).map(col)
+        ++ rightCols.map(c => col(s"_r.$c").as(c))): _*)
   }
 
   /** Range join: each left row matched to the bucket whose [lo, hi) interval

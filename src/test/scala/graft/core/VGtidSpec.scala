@@ -88,6 +88,22 @@ class VGtidSpec extends AnyFunSuite with PropSupport {
     }
   }
 
+  test("string-level guards: blank/malformed positions never after/equal " +
+    "(database.go:617-652)") {
+    val pos = s"MySQL56/$a:1-5"
+    assert(!VGtid.positionAfter(pos, ""))
+    assert(!VGtid.positionAfter("", pos))
+    assert(!VGtid.positionAfter("", ""))
+    assert(!VGtid.positionEqual("", ""))
+    assert(!VGtid.positionEqual(pos, ""))
+    assert(!VGtid.positionAfter("garbage:::", pos))
+    assert(!VGtid.positionEqual(pos, "garbage:::"))
+    assert(VGtid.positionAfter(s"MySQL56/$a:1-9", pos))
+    assert(VGtid.positionEqual(pos, pos))
+    // the set algebra keeps the mathematical view (documented divergence)
+    assert(VGtid.empty.positionEqual(VGtid.empty))
+  }
+
   test("rank is monotone along a single shard's advance") {
     val g0 = VGtid.parse(s"MySQL56/$a:1-4")
     val g1 = g0.advance(a, 5)

@@ -20,7 +20,7 @@ class NormalizeSpec extends AnyFunSuite with SparkSupport {
     assert(e("1") == "apple")  // types_test.go: post-COPY "1" → "apple"
     assert(e("2") == "banana")
     assert(e("0") == "")
-    assert(e("9") == "")
+    assert(e("9") == "9") // out-of-range index → original (mapEnumValue fallthrough)
     assert(e("banana") == "banana")
   }
 
@@ -30,7 +30,7 @@ class NormalizeSpec extends AnyFunSuite with SparkSupport {
     assert(s("24") == "San Jose,Oakland") // types_test.go:84,106
     assert(s("1") == "San Francisco")
     assert(s("31") == "San Francisco,New York,London,San Jose,Oakland")
-    assert(s("0") == "")
+    assert(s("0") == "0") // no bits mapped → original (mapSetValue fallthrough)
     assert(s("London") == "London")
   }
 
@@ -47,6 +47,17 @@ class NormalizeSpec extends AnyFunSuite with SparkSupport {
     def dd(v: String) = one(Seq(v).toDF("v").select(Normalize.isoDate($"v")))
     assert(dd("0000-00-00") == "1970-01-01")
     assert(dd("2021-03-04") == "2021-03-04")
+  }
+
+  test("timestamp WITH offset; TIME default branch passes bare times through " +
+    "(types_test.go:158-198)") {
+    def ts(v: String) = one(Seq(v).toDF("v").select(Normalize.isoTimestampTz($"v")))
+    assert(ts("2025-02-14 08:08:08") == "2025-02-14T08:08:08.000000+00:00")
+    assert(ts("0000-00-00 00:00:00") == "1970-01-01T00:00:00.000000+00:00")
+    assert(ts("garbage") == "garbage") // unparseable → original (formatISO8601 fallback)
+    def t(v: String) = one(Seq(v).toDF("v").select(Normalize.isoTime($"v")))
+    assert(t("08:08:08") == "08:08:08")
+    assert(t("2025-02-14 08:08:08") == "2025-02-14T08:08:08.000000+00:00")
   }
 
   test("decimal leading zero: .33 → 0.33, -.77 → -0.77") {

@@ -44,11 +44,34 @@ object PlanAudit {
     audit("laketable-read", lake,
       ("pushdown of repo filter", s => s.contains("PushedFilters") && s.contains("EqualTo(repo,repo-0001)")),
       ("pruned ReadSchema (no content)", s => !s.contains("content") || s.contains("ReadSchema: struct<repo:string,path:string>")))
-    // 5. dedup partial aggregation (map-side combine before shuffle)
+    // 5. dedup partial aggregation: LwwMaxBy under ObjectHashAggregate with
+    //    map-side partial combine before the exchange (hash probes, no sort)
     val dd = CdcApply.dedupLww(ChangelogGen.changelog(spark, c))
     audit("dedup-combine", dd,
-      ("partial_max_by before exchange", _.contains("partial_max_by")))
+      ("ObjectHashAggregate", _.contains("ObjectHashAggregate")),
+      ("partial lwwmaxby before exchange", s => {
+        val l = s.toLowerCase
+        l.contains("partial_lwwmaxby") || l.contains("partial lwwmaxby(") ||
+          (l.contains("lwwmaxby") && l.contains("partial"))
+      }))
     println(dd.queryExecution.executedPlan.toString.linesIterator.map(_.take(100)).take(12).mkString("\n"))
+
+    // 6. NO partitionless WindowExec anywhere in the driver queries — a
+    //    global window moves the whole table to one partition (scale killer)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+      } catch { case e: Throwable => println(s"  [window-audit] $name errored: ${e.getMessage}"); None }
+    }
+    println(s"no-partitionless-window :: all queries = ${if (offenders.isEmpty) "PASS" else s"FAIL ${offenders.mkString(",")}"}")
+
+    // 7. dedup_minhash never broadcasts the corpus (shuffle joins only)
+    audit("minhash-no-broadcast", SparkEntry.queries("dedup_minhash")(spark, dir),
+      ("no BroadcastExchange in plan", s => !s.contains("BroadcastExchange")))
     spark.stop()
   }
 }
