@@ -29,6 +29,78 @@ object OracleSql {
          (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents))""".stripMargin
   }
 
+  /** The planted near-dup corpus (mirrors `SparkEntry.plantedDocs`): each
+    * document plus a copy with the last two words dropped, id-offset by 1e6.
+    */
+  private val plantedCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000 AS doc_id,
+              array_to_string(w[1:greatest(len(w)-2,1)], ' ') AS text
+       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+             FROM documents)"""
+
+  /** Distinct character k-shingles of `expr` (mirrors `TextFunctions.shingles`). */
+  private def shingleSql(expr: String, k: Int): String =
+    s"""CASE WHEN length($expr) < $k THEN [substring($expr, 1, $k)]
+        ELSE list_distinct([substring($expr, i, $k)
+                            for i in range(1, length($expr) - ${k - 2})]) END"""
+
+  /** Integer per-mille Jaccard of two shingle lists (mirrors `jaccardPermille`). */
+  private def jaccSql(a: String, b: String): String =
+    s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0
+        ELSE (len(list_intersect($a, $b)) * 1000)
+             // len(list_distinct(list_concat($a, $b))) END"""
+
+  /** Full simhash mirror: per-token `md5_number_lower` (the Spark side uses
+    * the same md5-bytes-8..15-little-endian hash), 64 vote sums, bits
+    * recombined — then the brute-force hamming≤3 pair set, which the 4×16-bit
+    * chunk LSH reproduces exactly (pigeonhole recall 1.0).
+    */
+  private val simhashOracle: String = {
+    val bits = (0 until 64).map { j =>
+      // bit weight as an unsigned literal: DuckDB's << range-checks 1<<63
+      val w = java.lang.Long.toUnsignedString(1L << j)
+      s"(CASE WHEN SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN $w::UBIGINT ELSE 0::UBIGINT END)"
+    }.mkString(" + ")
+    s"""WITH corpus AS ($plantedCorpusSql),
+        tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '${"\\"}s+')) AS t FROM corpus),
+        hs AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok),
+        sim AS (SELECT doc_id, $bits AS sim FROM hs GROUP BY doc_id)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= 3"""
+  }
+
+  /** Brute-force exact-Jaccard pair set at the ≥0.7 threshold, computed
+    * relationally (unnest shingles → equi-join → per-pair intersection
+    * count; |A∪B| = |A|+|B|−|A∩B|) — pairs sharing no shingle have jacc 0
+    * and drop out naturally, so this is exhaustive without n² list ops.
+    */
+  private val minhashOracle: String =
+    s"""WITH corpus AS ($plantedCorpusSql),
+        sh AS (SELECT doc_id, ${shingleSql("text", 20)} AS sh FROM corpus),
+        sized AS (SELECT doc_id, len(sh) AS n FROM sh),
+        ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT a_id, b_id, jacc_pm FROM (
+          SELECT a_id, b_id, (i * 1000) // (na.n + nb.n - i) AS jacc_pm
+          FROM inter
+          JOIN sized na ON na.doc_id = a_id
+          JOIN sized nb ON nb.doc_id = b_id)
+        WHERE jacc_pm >= 700"""
+
+  private val ngramJaccardOracle: String =
+    s"""WITH corpus AS ($plantedCorpusSql),
+        sa AS (SELECT doc_id, ${shingleSql("text", 5)} AS sh FROM corpus WHERE doc_id < 1000000),
+        sb AS (SELECT doc_id - 1000000 AS doc_id, ${shingleSql("text", 5)} AS sh
+               FROM corpus WHERE doc_id >= 1000000)
+        SELECT a.doc_id AS a_id, ${jaccSql("a.sh", "b.sh")} AS jacc_pm
+        FROM sa a JOIN sb b USING (doc_id)"""
+
   val sql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -290,6 +362,14 @@ object OracleSql {
            FROM documents))""",
 
     "text_langid" -> langCase,
+
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_minhash" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, true AS fp_in_range, true AS fp_window_monotone
+         FROM documents""",
 
     "sim_knn_cosine" ->
       """SELECT query_id, neighbor_id, rank FROM (

@@ -437,11 +437,20 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), T.langId(col("text")).as("predicted"))
 
-  /** Rolling-hash fingerprint + simhash (custom Catalyst expressions). */
+  /** Rolling-hash fingerprint (custom Catalyst expression), oracled through
+    * its defining property: appending a suffix only ADDS windows, so the
+    * rolling-min over windows can only decrease — `fp(text+sfx) <= fp(text)`
+    * (guarded to texts of at least one full window), and the Mersenne-prime
+    * modulus keeps every fingerprint non-negative.
+    */
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), T.fingerprint(col("text"), 16).as("fp"),
-        T.simhash64(split(trim(col("text")), "\\s+")).as("simhash"))
+      .select(col("doc_id"), col("text"),
+        T.fingerprint(col("text"), 16).as("fp"),
+        T.fingerprint(concat(col("text"), lit(" 0123456789abcdef")), 16).as("fp_ext"))
+      .select(col("doc_id"),
+        (col("fp") >= 0).as("fp_in_range"),
+        (length(col("text")) < 16 || col("fp_ext") <= col("fp")).as("fp_window_monotone"))
 
   /** Planted near-duplicate corpus: each document + a copy with the last two
     * words dropped (deterministic) — MinHash/SimHash/Jaccard must recover the
@@ -465,9 +474,14 @@ object SparkEntry {
     val docs = plantedDocs(s, dir)
       .withColumn("sh", T.shingles(col("text"), 20))
       .cache()
+    // 16 bands × 2 rows: collision probability at jaccard 0.7 is
+    // 1-(1-0.49)^16 ≈ 0.99998 — empirically full recall on this corpus, so
+    // the output is EXACTLY the brute-force jacc≥700 pair set and the DuckDB
+    // n² oracle can check it (4×8 banding trades that recall for fewer
+    // candidates; at 0.7 it would miss ~11% of borderline pairs)
     val sig = docs
       .withColumn("band", explode(T.lshBandKeys(
-        T.minhashSignature(col("sh"), 32), 4, 8)))
+        T.minhashSignature(col("sh"), 32), 16, 2)))
       .select(col("doc_id"), col("band"))
     val cand = sig.select(col("band"), col("doc_id").as("a_id"))
       .join(sig.select(col("band"), col("doc_id").as("b_id")).hint("shuffle_hash"),
@@ -485,15 +499,18 @@ object SparkEntry {
   }
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    // md5-based token hashing (DuckDB md5_number_lower parity) makes the
+    // whole pipeline SQL-oracled; the 4×16-bit chunk LSH has recall 1.0 for
+    // hamming<=3 by pigeonhole, so the output is EXACTLY the brute-force
+    // hamming<=3 pair set
     val docs = plantedDocs(s, dir)
-      .withColumn("sim", T.simhash64(split(trim(col("text")), "\\s+")))
-    // band join: 4 chunks of 16 bits; hamming<=3 pairs share >=1 equal chunk
+      .withColumn("sim", T.simhash64Md5(split(trim(col("text")), "\\s+")))
     val banded = docs.withColumn("chunk", explode(array((0 until 4).map(i =>
       struct(lit(i).as("i"), shiftrightunsigned(col("sim"), i * 16)
         .bitwiseAND(lit(0xffffL)).as("v"))): _*)))
     val a = banded.select(col("chunk"), col("doc_id").as("a_id"), col("sim").as("a_sim"))
     val b = banded.select(col("chunk"), col("doc_id").as("b_id"), col("sim").as("b_sim"))
-    a.join(b, Seq("chunk")).filter(col("a_id") < col("b_id"))
+    a.join(b.hint("shuffle_hash"), Seq("chunk")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         T.hamming64(col("a_sim"), col("b_sim")).as("hamming")).distinct()
       .filter(col("hamming") <= 3)

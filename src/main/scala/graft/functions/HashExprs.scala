@@ -14,7 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * column index aren't expressible with built-in functions without 64
   * aggregate passes. Codegen emits a static call (stays in WholeStageCodegen).
   */
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression, md5Tokens: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -24,9 +25,9 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     }
   }
   override def nullSafeEval(v: Any): Any =
-    SimHash64Expr.simhashArray(v.asInstanceOf[ArrayData])
+    SimHash64Expr.simhashArray(v.asInstanceOf[ArrayData], md5Tokens)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64Expr.simhashArray($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64Expr.simhashArray($c, $md5Tokens)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
 }
@@ -41,13 +42,34 @@ object SimHash64Expr {
     h
   }
 
-  def simhashArray(arr: ArrayData): Long = {
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** MD5-based 64-bit token hash: digest bytes 8..15 little-endian — exactly
+    * DuckDB's `md5_number_lower`, which is what lets the simhash pipeline be
+    * oracled end-to-end in SQL. Slower than [[tokenHash]]; used where oracle
+    * parity matters more than raw speed.
+    */
+  def md5Hash64(s: UTF8String): Long = {
+    val digest = md5Digest.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
+  def simhashArray(arr: ArrayData, md5Tokens: Boolean): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = tokenHash(arr.getUTF8String(i))
+        val h = if (md5Tokens) md5Hash64(arr.getUTF8String(i))
+                else tokenHash(arr.getUTF8String(i))
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -64,6 +86,9 @@ object SimHash64Expr {
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))
+
+  def simhash64Md5(tokens: Column): Column =
+    GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens), md5Tokens = true))
 }
 
 /** MinHash signature of a shingle array — custom Catalyst expression because

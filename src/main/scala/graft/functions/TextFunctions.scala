@@ -114,6 +114,11 @@ object TextFunctions {
     */
   def simhash64(tokens: Column): Column = SimHash64Expr.simhash64(tokens)
 
+  /** SimHash-64 with DuckDB-`md5_number_lower` token hashing — bit-for-bit
+    * reproducible in ANSI SQL, so the whole near-dup pipeline can be oracled.
+    */
+  def simhash64Md5(tokens: Column): Column = SimHash64Expr.simhash64Md5(tokens)
+
   /** Rolling-hash document fingerprint (see [[FingerprintExpr]]). */
   def fingerprint(text: Column, window: Int = 16): Column =
     FingerprintExpr.fingerprint(text, window)
