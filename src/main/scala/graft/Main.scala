@@ -155,10 +155,20 @@ object Main {
               val t = new LakeTable(root, spark)
               if (t.currentVersion.isEmpty) t.create(ChangeEvent.rowSchema, numBuckets =
                 o.getOrElse("buckets", "64").toInt)
+              // --state <file>: SyncState JSON (the reference's state file);
+              // per-shard cursors resume the stream, PK watermarks resume the
+              // COPY phase (position cleared unless --use_gtid_with_table_pks)
+              val resumeState = o.get("state").map { path =>
+                val json = new String(java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(path)), "UTF-8")
+                SyncState.fromJson(json).streams.values.flatten.toMap
+              }.getOrElse(Map.empty[String, graft.core.ShardCursor])
               val rc = CdcStream.RunConfig(genConfig(o), root, cp,
                 maxEventsPerTrigger = o.get("maxPerTrigger").map(_.toLong),
                 parityMode = o.get("parity").exists(_.toBoolean),
-                startingGtids = startingGtids)
+                startingGtids = startingGtids,
+                resumeState = resumeState,
+                useGtidWithTablePks = o.get("use_gtid_with_table_pks").exists(_.toBoolean))
               val t0 = System.nanoTime()
               val batches = CdcStream.runAvailableNow(spark, rc)
               val secs = (System.nanoTime() - t0) / 1e9

@@ -200,6 +200,22 @@ object EventGen {
       schema_version = 1)
   }
 
+  /** Resolve a COPY-phase LASTPK watermark to the row position AFTER it in
+    * shard `shardIdx`'s offset space — the reference's resume-by-PK: a
+    * cursor with `last_known_pk` re-requests the copy from that key
+    * (`planetscale_edge_database.go:580-614`, resume test `:2506-2891`).
+    * Copy rows are PK-ordered (repo, then sorted path), so the watermark
+    * inverts to `localRepo * paths + pathIdx`.
+    */
+  def positionForPk(shardIdx: Int, repo: String, path: String, c: GenConfig): Long = {
+    val paths = sortedPaths(c)
+    val p = paths.length
+    val repoIdx = repo.stripPrefix("repo-").toInt
+    val localRepo = (repoIdx - shardIdx) / c.numShards
+    val pathIdx = math.max(0, paths.indexWhere(_._1 == path))
+    math.min(copyPerShard(c), localRepo.toLong * p + pathIdx + 1)
+  }
+
   /** Row `pos` (0-based) of shard `shardIdx`'s unified offset space:
     * copy rows first, then catch-up events.
     */

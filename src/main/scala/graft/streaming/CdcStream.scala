@@ -29,7 +29,9 @@ object CdcStream {
       compactEvery: Option[Int] = None,
       maxFilesPerBucket: Int = 4,
       startingGtids: Map[String, Map[String, String]] = Map.empty,
-      numBuckets: Int = 64)
+      numBuckets: Int = 64,
+      resumeState: Map[String, graft.core.ShardCursor] = Map.empty,
+      useGtidWithTablePks: Boolean = false)
 
   private def startingGtidsJson(g: Map[String, Map[String, String]]): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -39,6 +41,34 @@ object CdcStream {
       shards.toSeq.sortBy(_._1).foreach { case (sh, pos) => n.put(sh, pos) }
     }
     mapper.writeValueAsString(root)
+  }
+
+  /** Resume-from-state (the reference's `--state` file): each shard cursor
+    * passes the copy-phase resume rule first — a LastKnownPk clears the GTID
+    * unless `use_gtid_with_table_pks` (`planetscale_edge_database.go:
+    * 312-314`) — then becomes a `startingPks` (mid-copy watermark) or
+    * `startingGtids` (binlog position) source option. Checkpoint still wins.
+    */
+  private def resumeOptions(rc: RunConfig): Map[String, String] = {
+    if (rc.resumeState.isEmpty) return Map.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val resumed = rc.resumeState.map { case (sh, cur) => sh -> cur.forResume(rc.useGtidWithTablePks) }
+    val pks = mapper.createObjectNode()
+    val gtids = mapper.createObjectNode()
+    val ksNode = gtids.putObject(rc.gen.keyspace)
+    resumed.toSeq.sortBy(_._1).foreach { case (sh, cur) =>
+      // with use_gtid_with_table_pks both ride along (reference sends the
+      // position AND TablePKs in the request); the source prefers the PK
+      cur.lastPk.foreach { pk =>
+        val n = pks.putObject(sh); n.put("repo", pk.repo); n.put("path", pk.path)
+      }
+      if (cur.position.nonEmpty) ksNode.put(sh, cur.position)
+    }
+    val pkOpt: Map[String, String] =
+      if (pks.size() > 0) Map("startingPks" -> mapper.writeValueAsString(pks)) else Map.empty
+    val gtidOpt: Map[String, String] =
+      if (ksNode.size() > 0) Map("startingGtids" -> mapper.writeValueAsString(gtids)) else Map.empty
+    pkOpt ++ gtidOpt
   }
 
   def sourceOptions(rc: RunConfig): Map[String, String] = {
@@ -58,7 +88,8 @@ object CdcStream {
       rc.maxEventsPerTrigger.map("maxEventsPerTrigger" -> _.toString) ++
       rc.endSeq.map("endSeq" -> _.toString) ++
       (if (rc.startingGtids.nonEmpty)
-        Map("startingGtids" -> startingGtidsJson(rc.startingGtids)) else Map.empty)
+        Map("startingGtids" -> startingGtidsJson(rc.startingGtids)) else Map.empty) ++
+      resumeOptions(rc) // explicit state wins over starting_gtids (read.go:169-180)
   }
 
   /** Append one row per (batch, shard) to the table's metrics sidecar —

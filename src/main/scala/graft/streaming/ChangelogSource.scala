@@ -51,7 +51,8 @@ object ChangelogSource {
       maxEventsPerTrigger: Long,
       rowsPerPartition: Long,
       endSeq: Option[Long],
-      startingGtids: Map[String, String])
+      startingGtids: Map[String, String],
+      startingPks: Map[String, (String, String)])
 
   /** `startingGtids` option: the reference's `starting_gtids` JSON
     * (`{"<keyspace>": {"<shard>": "<gtid>"}}`, README.md:160-197) — entries
@@ -88,7 +89,13 @@ object ChangelogSource {
       endSeq = opts.get("endSeq").map(_.toLong),
       startingGtids = opts.get("startingGtids")
         .map(parseStartingGtids(_, opts.getOrElse("keyspace", "ks")))
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      startingPks = opts.get("startingPks").map { json =>
+        val root = new ObjectMapper().readTree(json)
+        root.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get("repo").asText(), e.getValue.get("path").asText())
+        }.toMap
+      }.getOrElse(Map.empty))
   }
 }
 
@@ -141,14 +148,21 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
   @volatile private var availableNowHead: Option[ChangelogOffset] = None
 
   /** A13 initial state: blank per-shard positions, overridden per shard by
-    * `startingGtids` (resolved to offsets). Called by Spark only when the
-    * checkpoint has no committed offset — state beats starting_gtids.
+    * `startingPks` (COPY-phase watermark resume, which wins — the reference
+    * clears the GTID when a LastKnownPk is present unless
+    * `use_gtid_with_table_pks`) or `startingGtids` (post-copy binlog
+    * position). Called by Spark only when the checkpoint has no committed
+    * offset — state beats starting_gtids.
     */
   override def initialOffset(): Offset =
     ChangelogOffset((0 until c.numShards).map { i =>
       val shard = EventGen.shardName(c.numShards, i)
-      i -> opts.startingGtids.get(shard)
-        .map(g => EventGen.positionForGtid(i, g, c)).getOrElse(0L)
+      val pos = opts.startingPks.get(shard) match {
+        case Some((repo, path)) => EventGen.positionForPk(i, repo, path, c)
+        case None => opts.startingGtids.get(shard)
+          .map(g => EventGen.positionForGtid(i, g, c)).getOrElse(0L)
+      }
+      i -> pos
     }.toMap)
 
   override def deserializeOffset(json: String): Offset = ChangelogOffset.fromJson(json)

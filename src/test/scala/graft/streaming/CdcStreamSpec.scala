@@ -125,6 +125,36 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assert(applied == 0L, s"checkpoint should beat starting_gtids, applied $applied")
   }
 
+  test("resume from state: mid-copy LastKnownPk resumes the COPY after the watermark; " +
+    "use_gtid_with_table_pks keeps/clears the GTID (database.go:312-314, resume test :2506-2891)") {
+    val c = GenConfig(numEvents = 3000L, numShards = 2, numRepos = 20, pathsPerRepo = 10,
+      copyRows = 800L)
+    val base = tmpDir("pkresume")
+    val names = ChangelogGen.shardNames(c.numShards)
+    val k = 250L // copy rows already synced per shard
+    val state = (0 until c.numShards).map { i =>
+      val pk = EventGen.copyEvent(i, k - 1, c, EventGen.sortedPaths(c)).last_pk.get
+      names(i) -> graft.core.ShardCursor(c.keyspace, names(i),
+        s"MySQL56/${EventGen.shardUuid(c.seed, i)}:1-1", Some(pk))
+    }.toMap
+
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val rc = CdcStream.RunConfig(c, s"$base/t", s"$base/cp", resumeState = state)
+    CdcStream.runAvailableNow(spark, rc)
+    val m = CdcStream.readMetrics(spark, s"$base/t")
+    val expected = (0 until c.numShards).map(i => EventGen.totalPerShard(i, c) - k).sum
+    assert(m.select(sum(col("rows"))).head().getLong(0) == expected,
+      "copy must resume AFTER the PK watermark, then catch up")
+
+    // option shape mirrors the reference's request building: the watermark
+    // clears the GTID unless use_gtid_with_table_pks keeps both
+    val optsCleared = CdcStream.sourceOptions(rc)
+    assert(optsCleared.contains("startingPks") && !optsCleared.contains("startingGtids"))
+    val optsKept = CdcStream.sourceOptions(rc.copy(useGtidWithTablePks = true))
+    assert(optsKept.contains("startingPks") && optsKept.contains("startingGtids"))
+  }
+
   test("configured catalog: incremental resumes, full_refresh resets and re-ingests") {
     val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
     val base = tmpDir("catalog")
