@@ -249,8 +249,12 @@ object OracleSql {
          ('31','San Francisco,New York,London,San Jose,Oakland'),
          ('London','London'),('x','x')) AS t(v, labels)""",
 
+    // as_bool/opted_out = the do_not_treat_tiny_int_as_boolean toggle
+    // (planetscale_connection.go:30-32): opted out keeps the raw integer
     "norm_tinyint" ->
-      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), false),(1,true),(2,true),(-1,true)) AS t(v, b)""",
+      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), false, 'false', '0'),
+         (1, true, 'true', '1'),(2, true, 'true', '2'),(-1, true, 'true', '-1'))
+         AS t(v, b, as_bool, opted_out)""",
 
     "norm_datetime" ->
       """SELECT * FROM (VALUES

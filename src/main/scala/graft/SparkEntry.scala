@@ -274,7 +274,9 @@ object SparkEntry {
   private def normTinyint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Seq(0L, 1L, 2L, -1L).toDF("v")
-      .select(col("v"), N.tinyintBool(col("v")).as("b"))
+      .select(col("v"), N.tinyintBool(col("v")).as("b"),
+        N.tinyint(col("v"), treatAsBoolean = true).as("as_bool"),
+        N.tinyint(col("v"), treatAsBoolean = false).as("opted_out"))
   }
 
   private def normDatetime(s: SparkSession, dir: String): DataFrame = {
@@ -312,8 +314,9 @@ object SparkEntry {
     import s.implicits._
     val a = "0d5afdd6-54a0-11eb-936d-0a8939501751"
     val b = "e1e896df-54a0-11eb-a26c-0e8d6a9fbf6f"
-    val after = udf((x: String, y: String) => VGtid.positionAfter(x, y))
-    val eq = udf((x: String, y: String) => VGtid.positionEqual(x, y))
+    import graft.functions.VGtidCompareExpr.{vgtid_after, vgtid_equal}
+    val after = vgtid_after(_: Column, _: Column)
+    val eq = vgtid_equal(_: Column, _: Column)
     Seq(
       (1, s"MySQL56/$a:1-9,$b:1-3", s"MySQL56/$a:1-5"),
       (2, s"MySQL56/$a:1-5", s"MySQL56/$a:1-9,$b:1-3"),

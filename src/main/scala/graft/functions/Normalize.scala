@@ -47,6 +47,14 @@ object Normalize {
   /** tinyint(1) → boolean (`types.go:243-256`): nonzero → true. */
   def tinyintBool(c: Column): Column = c.cast("long") =!= 0
 
+  /** tinyint(1) with the `do_not_treat_tiny_int_as_boolean` opt-out
+    * (`planetscale_connection.go:30-32`, behavior at
+    * `planetscale_edge_database.go:147-154` / `types.go:213-215`): opted out,
+    * the raw integer value is kept.
+    */
+  def tinyint(c: Column, treatAsBoolean: Boolean): Column =
+    if (treatAsBoolean) tinyintBool(c).cast("string") else c.cast("long").cast("string")
+
   /** DATETIME string → ISO-8601 without offset, microsecond precision;
     * MySQL zero-dates map to the Unix epoch; an unparseable value falls back
     * to the ORIGINAL (reference `formatISO8601`, `types.go:274-332`).

@@ -31,6 +31,35 @@ case class VGtidRankExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Catalyst expression: the reference's string-level position comparison
+  * (`positionAfter` when `after = true`, else `positionEqual`;
+  * `planetscale_edge_database.go:617-652`) — blank or malformed positions
+  * never compare after/equal. Full interval-set containment, NOT the rank
+  * shortcut (multi-UUID sets compare correctly). Static-call codegen.
+  */
+case class VGtidCompareExpr(left: Expression, right: Expression, after: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VGtidCompareExpr.compare(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], after)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.VGtidCompareExpr.compare($l, $r, $after)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VGtidCompareExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object VGtidCompareExpr {
+  def compare(l: UTF8String, r: UTF8String, after: Boolean): Boolean =
+    if (after) VGtid.positionAfter(l.toString, r.toString)
+    else VGtid.positionEqual(l.toString, r.toString)
+
+  import org.apache.spark.sql.GraftBridge
+  def vgtid_after(x: Column, y: Column): Column =
+    GraftBridge.column(VGtidCompareExpr(GraftBridge.expression(x), GraftBridge.expression(y), after = true))
+  def vgtid_equal(x: Column, y: Column): Column =
+    GraftBridge.column(VGtidCompareExpr(GraftBridge.expression(x), GraftBridge.expression(y), after = false))
+}
+
 object VGtidRankExpr {
   /** Hot-path rank: scans the UTF8 bytes for the max integer run — avoids the
     * full interval-set parse (`VGtid.parse`) per row. Falls back to the exact

@@ -63,6 +63,15 @@ object VectorFunctions {
     * in ANY table (standard L-tables LSH: recall grows with L while each
     * probe still touches ~corpus/2^bits rows). Candidates are ranked by
     * exact cosine. Recall verified against [[bruteForceTopK]] in tests.
+    *
+    * Scale shape: the bucket join is a plain equi-join — AQE broadcasts a
+    * small query set at runtime and falls back to a shuffle join for a large
+    * one (no hard-coded broadcast of either side); at rest the corpus would
+    * be written partitioned by its bucket column so probes prune partitions.
+    * Scoring happens BEFORE the candidate dedup so the dedup shuffle carries
+    * `(query_id, neighbor_id, cos)` scalars, never the embedding arrays
+    * (cosine is deterministic per pair, and a pair repeats at most `tables`
+    * times — recompute is cheaper than shuffling vectors at 100 TB).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       bits: Int = 4, tables: Int = 8, seed: Long = 7L): DataFrame = {
@@ -73,11 +82,11 @@ object VectorFunctions {
       explode(buckets(col("vec"))).as("bucket"))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
       explode(buckets(col("vec"))).as("bucket"))
-    val cand = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
