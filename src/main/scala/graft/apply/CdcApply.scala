@@ -3,7 +3,7 @@ package graft.apply
 import graft.core.{LastPk, ShardCursor, ShardStats, SyncState, VGtid}
 import graft.functions.VGtidRankExpr.vgtid_rank
 import graft.laketable.{LakeTable, Snapshot}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,32 +86,43 @@ object CdcApply {
     keyed.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Names of the per-shard stats sidecar columns staged as `_kind=s` rows
-    * (null on data rows; the all-null columns cost ~1 bit/row in parquet).
+  /** Per-winner provenance columns staged alongside the data columns: enough
+    * to recover per-shard cursors/lineage from the ALREADY-WRITTEN staged
+    * parquet (one column-pruned read of local winner files — never a second
+    * scan of the source). keyspace/shard dictionary-encode to ~nothing;
+    * vgtid strings share a long prefix (snappy); the rest are small
+    * longs/bools. They double as per-row provenance in the adopted files
+    * (readers project by schema field ids, so they are invisible to queries).
     */
-  private val statsCols = Seq("_s_keyspace", "_s_shard", "_s_vend", "_s_catchup",
-    "_s_pk_repo", "_s_pk_path", "_s_rows")
-  private val statsColTypes = Seq("string", "string", "string", "int",
-    "string", "string", "bigint")
+  private val statsCols: Seq[Column] = Seq(
+    col("keyspace").as("_s_keyspace"), col("shard").as("_s_shard"),
+    col("vgtid").as("_s_vgtid"), col("_rank").as("_s_rank"),
+    col("event_seq").as("_s_seq"), col("is_copy_phase").as("_s_copy"),
+    col("last_pk.repo").as("_s_pk_repo"), col("last_pk.path").as("_s_pk_path"),
+    col("_key_events").as("_s_key_events"))
 
-  /** Per-shard stats aggregated from the LWW winners. Correct because within
-    * a shard events are totally ordered by `event_seq`: the shard's latest
-    * event is the latest for its key, so it always survives dedup — max over
-    * winners = max over the batch. Watermark rule (the reference clears
-    * LastKnownPk once the copy phase completes): any catch-up event in the
-    * shard nulls `last_pk`; otherwise the max-seq COPY row's watermark is
-    * kept. Keys never span shards, so per-key `_key_events` sums to the
-    * shard's processed rows.
+  /** Per-shard stats aggregated from the staged LWW winners. Correct because
+    * within a shard events are totally ordered by `event_seq`: the shard's
+    * latest event is the latest for its key, so it always survives dedup —
+    * max over winners = max over the batch. Watermark rule (the reference
+    * clears LastKnownPk once the copy phase completes): any catch-up event
+    * in the shard nulls `last_pk`; otherwise the max-seq COPY row's
+    * watermark is kept. Keys never span shards, so per-key `_s_key_events`
+    * sums to the shard's processed rows.
     */
-  private def statsRowsFromWinners(deduped: DataFrame): DataFrame =
-    deduped.groupBy(col("keyspace"), col("shard")).agg(
-      max_by(col("vgtid"), struct(col("_rank"), col("event_seq"))).as("_s_vend"),
-      max(when(col("is_copy_phase"), lit(0)).otherwise(lit(1))).as("_s_catchup"),
-      max_by(col("last_pk.repo"),
-        when(col("is_copy_phase"), col("event_seq")).otherwise(lit(-1L))).as("_s_pk_repo"),
-      max_by(col("last_pk.path"),
-        when(col("is_copy_phase"), col("event_seq")).otherwise(lit(-1L))).as("_s_pk_path"),
-      sum(col("_key_events")).as("_s_rows"))
+  private def statsFromStaged(winners: DataFrame): DataFrame =
+    winners
+      .select(col("_s_keyspace"), col("_s_shard"), col("_s_vgtid"), col("_s_rank"),
+        col("_s_seq"), col("_s_copy"), col("_s_pk_repo"), col("_s_pk_path"),
+        col("_s_key_events"))
+      .groupBy(col("_s_keyspace"), col("_s_shard")).agg(
+        max_by(col("_s_vgtid"), struct(col("_s_rank"), col("_s_seq"))).as("_s_vend"),
+        max(when(col("_s_copy"), lit(0)).otherwise(lit(1))).as("_s_catchup"),
+        max_by(col("_s_pk_repo"),
+          when(col("_s_copy"), col("_s_seq")).otherwise(lit(-1L))).as("_s_pk_repo2"),
+        max_by(col("_s_pk_path"),
+          when(col("_s_copy"), col("_s_seq")).otherwise(lit(-1L))).as("_s_pk_path2"),
+        sum(col("_s_key_events")).as("_s_rows"))
 
   /** Per-shard stats by re-aggregating the RAW batch (second source scan) —
     * used only in parity mode, where deletes are filtered out before dedup
@@ -193,21 +204,12 @@ object CdcApply {
         case None => nullAs(f.dataType, f.name)
       }
     }
-    // data rows + the per-shard stats sidecar in ONE union plan: both
-    // branches hang off the same dedup aggregation exchange (reused), so the
-    // source is scanned once and the cursors ride the same write job
-    val dataStaged = deduped.select(dataCols ++ Seq(
+    // winner rows carry their provenance (`_s_*`) into the staged write, so
+    // cursors/lineage are recovered from the already-written staged parquet
+    // — the SOURCE is scanned exactly once per batch
+    val staged = deduped.select(dataCols ++ Seq(
       when(col("op") === "delete", lit("d")).otherwise(lit("u")).as("_kind"),
-      bucket.as("_bucket")) ++
-      statsCols.zip(statsColTypes).map { case (n, t) => nullAs(t, n) }: _*)
-    val nullData = snap.currentSchema.map(f => nullAs(f.dataType, f.name))
-    val statsStaged = statsRowsFromWinners(deduped).select(nullData ++ Seq(
-      lit("s").as("_kind"), lit(0).as("_bucket"),
-      col("keyspace").cast("string").as("_s_keyspace"),
-      col("shard").cast("string").as("_s_shard"),
-      col("_s_vend"), col("_s_catchup"), col("_s_pk_repo"), col("_s_pk_path"),
-      col("_s_rows")): _*)
-    val staged = dataStaged.unionByName(statsStaged)
+      bucket.as("_bucket")) ++ statsCols: _*)
     val stage = table.stageWrite(staged.repartition(col("_bucket")))
     try {
       val affected = table.stagedBuckets(stage)
@@ -215,16 +217,19 @@ object CdcApply {
       val upsertCount = table.stagedCount(spark, stage, "u")
       val deleteCount = table.stagedCount(spark, stage, "d")
 
-      // --- per-shard cursors/stats from the tiny staged sidecar (or, in
-      // parity mode, from a re-scan that still sees delete positions) ---
+      // --- per-shard cursors/stats from a column-pruned read of the staged
+      // winners (or, in parity mode, from a re-scan of the raw batch so
+      // dropped deletes still advance positions) ---
       val stats: Map[String, ShardStats] =
         if (conf.parityMode) statsFromEvents(events, prevState)
-        else table.stagedKindDf(spark, stage, "s").map { df =>
-          df.select(statsCols.map(col): _*).collect().map { r =>
+        else {
+          val kinds = Seq("u", "d").flatMap(table.stagedKindDf(spark, stage, _))
+          if (kinds.isEmpty) Map.empty
+          else statsFromStaged(kinds.reduce(_.unionByName(_))).collect().map { r =>
             statsFromRow(r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
               Option(r.getString(4)), Option(r.getString(5)), r.getLong(6), prevState)
           }.toMap
-        }.getOrElse(Map.empty)
+        }
       val cursors = stats.map { case (s, st) => s -> st.cursor }
 
       // --- prune overwritten/deleted keys out of existing files (only the
