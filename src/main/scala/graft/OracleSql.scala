@@ -385,10 +385,21 @@ object OracleSql {
            WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
          WHERE rank <= 5""",
 
+    // resize: aspect-preserving fit into 32² — stub dims always have
+    // w ≥ 64 > 32 and w ≥ h, so resized = (32, floor(h·32/w)) exactly
     "multimodal_features" ->
-      """SELECT doc_id, n_bytes, 64 + (n_bytes % 64) * 4 AS width,
-         ((64 + (n_bytes % 64) * 4) * 3) // 4 AS height,
-         CASE n_bytes % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-         FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)"""
+      """SELECT doc_id, n_bytes, w AS width, h AS height, format,
+         32 AS resized_w, greatest((h * 32) // w, 1) AS resized_h
+         FROM (SELECT doc_id, n_bytes, 64 + (n_bytes % 64) * 4 AS w,
+                 ((64 + (n_bytes % 64) * 4) * 3) // 4 AS h,
+                 CASE n_bytes % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+               FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents))""",
+
+    "multimodal_frames" ->
+      """SELECT doc_id, unnest(range(0, frames, 4)) AS frame_idx, frames AS n_frames,
+              least(64, n - unnest(range(0, frames, 4)) * 64) AS frame_bytes, format
+         FROM (SELECT doc_id, n, (n + 63) // 64 AS frames,
+                 CASE n % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+               FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents))"""
   )
 }

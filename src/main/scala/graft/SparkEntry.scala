@@ -542,27 +542,28 @@ object SparkEntry {
     V.lshTopK(emb.filter(col("id") < 8), emb, 5, dim = 64)
   }
 
-  /** Multimodal plumbing: text → binary payload → partition-wise "decode"
-    * (stub: the container has no image/audio codecs; the decode is a
-    * deterministic arithmetic fake, the binary column + typed mapPartitions
-    * batch shape is real).
+  /** Multimodal decode + feature-extract + RESIZE: binary payloads flow
+    * through a partition-wise typed decoder ([[graft.operators.Multimodal]]
+    * — one codec instance per partition, the batch shape real codecs need;
+    * the pixel decode itself is a clearly-marked deterministic stub since
+    * the container ships no image/audio libraries). Resize = largest
+    * aspect-preserving fit into 32×32 (integer math, oracled).
     */
-  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val payload = t(s, dir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-    payload.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        // STUB decoder: real codecs absent; shape = (id, n_bytes, w, h, fmt)
-        val n = bytes.length.toLong
-        val w = 64L + (n % 64L) * 4L
-        val h = (w * 3L) / 4L
-        val fmt = (n % 3L) match { case 0L => "jpeg"; case 1L => "png"; case _ => "webp" }
-        (id, n, w, h, fmt)
-      }
-    }.toDF("doc_id", "n_bytes", "width", "height", "format")
-  }
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeFeatures(
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+
+  /** Multimodal FRAME-SAMPLING: payload treated as a fixed-frame-size video
+    * container; every k-th frame is sampled (one output row per kept frame)
+    * — the `mapPartitions`-with-per-partition-codec batch shape again, and
+    * the fan-out (explode-like 1→N) that real frame extraction has.
+    */
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.sampleFrames(
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      frameBytes = 64, every = 4)
 
   /** The engine itself as a query: replay a 2-shard changelog through the
     * lake table and emit the final state digests (rows-only check; full
@@ -623,7 +624,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "sim_knn_cosine" -> simKnnCosine,
     "sim_knn_lsh" -> simKnnLsh,
-    "multimodal_features" -> multimodalFeatures
+    "multimodal_features" -> multimodalFeatures,
+    "multimodal_frames" -> multimodalFrames
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql
