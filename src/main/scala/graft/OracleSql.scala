@@ -375,6 +375,21 @@ object OracleSql {
       """SELECT doc_id, true AS fp_in_range, true AS fp_window_monotone
          FROM documents""",
 
+    // brute-force cosine≥0.95 over corpus + perturbed plants; LSH recall on
+    // this corpus is exhaustive (see SparkEntry.dedupEmbedding)
+    "dedup_embedding" ->
+      """WITH base AS (SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings),
+          corpus AS (SELECT id, vec FROM base
+                     UNION ALL
+                     SELECT id + 1000000 AS id,
+                            list_concat([vec[1] + 0.02], vec[2:]) AS vec
+                     FROM base)
+         SELECT a.id AS a_id, b.id AS b_id
+         FROM corpus a JOIN corpus b ON a.id < b.id
+         WHERE list_cosine_similarity(a.vec, b.vec) >= 0.95""",
+
     "sim_knn_cosine" ->
       """SELECT query_id, neighbor_id, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

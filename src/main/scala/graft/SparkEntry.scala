@@ -530,6 +530,22 @@ object SparkEntry {
       .select(col("a_id"), T.jaccardPermille(col("a_sh"), col("b_sh")).as("jacc_pm"))
   }
 
+  /** Embedding-cosine near-dup: each embedding + a deterministically
+    * perturbed copy (+0.02 in dim 1, cos ≈ 0.999); LSH candidates + exact
+    * cosine ≥ 0.95 recover exactly the planted pair set (no pair in this
+    * corpus lands near the threshold, so float summation order can't flip
+    * membership — boundary-safe for the DuckDB brute-force oracle).
+    */
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+    val planted = emb.select((col("id") + 1000000L).as("id"),
+      concat(array(element_at(col("vec"), 1) + lit(0.02d)),
+        slice(col("vec"), 2, 63)).as("vec"))
+    V.nearDupPairs(emb.unionByName(planted), dim = 64, threshold = 0.95)
+  }
+
   private def simKnnCosine(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -622,6 +638,7 @@ object SparkEntry {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embedding" -> dedupEmbedding,
     "sim_knn_cosine" -> simKnnCosine,
     "sim_knn_lsh" -> simKnnLsh,
     "multimodal_features" -> multimodalFeatures,

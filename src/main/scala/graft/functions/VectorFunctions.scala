@@ -58,6 +58,34 @@ object VectorFunctions {
     buckets.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs at a cosine threshold — the
+    * embedding leg of the dedup family. Sign-bucket LSH generates candidates
+    * (pairs colliding in ANY of `tables` hashes; never an all-pairs product),
+    * exact cosine verifies. Scoring precedes the pair dedup so the dedup
+    * shuffle carries `(a_id, b_id, cos)` scalars, not vectors. At a high
+    * threshold (θ small) per-table collision (1-θ/π)^bits is near 1, so a
+    * handful of tables yields effectively-exhaustive recall (verified against
+    * the brute-force oracle on this corpus) while random pairs collide at
+    * ~0.5^bits per table.
+    */
+  def nearDupPairs(corpus: DataFrame, dim: Int, threshold: Double,
+      bits: Int = 8, tables: Int = 8, seed: Long = 11L): DataFrame = {
+    def buckets(vec: Column): Column = array((0 until tables).map { t =>
+      signBucket(vec, dim, bits, seed + t * 104729L) * tables + t
+    }: _*)
+    val side = corpus.select(col("id"), col("vec"),
+      explode(buckets(col("vec"))).as("bucket"))
+    side.select(col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"))
+      .join(side.select(col("bucket"), col("id").as("b_id"), col("vec").as("b_vec"))
+        .hint("shuffle_hash"), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("a_vec"), col("b_vec")))
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** Multi-table LSH approximate top-k: `tables` independent sign-bucket
     * hashes; a corpus vector is a candidate if it shares the query's bucket
     * in ANY table (standard L-tables LSH: recall grows with L while each
