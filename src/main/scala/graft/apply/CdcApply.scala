@@ -39,9 +39,12 @@ object CdcApply {
 
   /** Parity mode reproduces the reference's After-image-only semantics
     * (deletes dropped — `planetscale_edge_database.go:398-410`); native mode
-    * applies deletes as row removals.
+    * applies deletes as row removals. `saltBuckets` switches LWW dedup to
+    * the explicitly salted two-level tree (see [[dedupLwwSalted]]) for
+    * key-flood skew.
     */
-  final case class ApplyConfig(parityMode: Boolean = false)
+  final case class ApplyConfig(parityMode: Boolean = false,
+      saltBuckets: Option[Int] = None)
 
   /** LWW dedup: keep the newest event per (repo, path) by
     * (vgtid rank, event_seq) — the north-star's "(vgtid, event_seq) window".
@@ -72,6 +75,35 @@ object CdcApply {
       .agg(graft.functions.LwwMaxBy.lww_max_by(
         struct(payload: _*), col("_rank"), col("event_seq")).as("_win"),
         count(lit(1)).as("_key_events"))
+      .select(col("_repo"), col("_path"), col("_win.*"), col("_key_events"))
+  }
+
+  /** Explicitly SALTED LWW dedup (north-star "salting merge keys"): a
+    * two-level aggregation tree — partial LWW per (key, salt) then final LWW
+    * per key — for the pathological case the map-side combine alone can't
+    * spread: ONE merge key receiving a flood so large that even the combined
+    * per-partition candidates overwhelm a single reducer's input. `max` is
+    * associative, so the salted tree is exactly equivalent (spec-asserted).
+    * The salt is `event_seq % salts`: deterministic, uniform within a key.
+    * Costs one extra (tiny: winners-only) shuffle — enable via
+    * `ApplyConfig.saltBuckets` only when key-flood skew is expected.
+    */
+  def dedupLwwSalted(events: DataFrame, salts: Int): DataFrame = {
+    val keyed = events
+      .withColumn("_repo", coalesce(col("after.repo"), col("before.repo")))
+      .withColumn("_path", coalesce(col("after.path"), col("before.path")))
+      .withColumn("_rank", vgtid_rank(col("vgtid")))
+    val payload = events.columns.map(col) :+ col("_rank")
+    val partial = keyed
+      .groupBy(col("_repo"), col("_path"), pmod(col("event_seq"), lit(salts)).as("_salt"))
+      .agg(graft.functions.LwwMaxBy.lww_max_by(
+        struct(payload: _*), col("_rank"), col("event_seq")).as("_win"),
+        count(lit(1)).as("_sub_events"))
+    partial
+      .groupBy(col("_repo"), col("_path"))
+      .agg(graft.functions.LwwMaxBy.lww_max_by(
+        col("_win"), col("_win._rank"), col("_win.event_seq")).as("_win"),
+        sum(col("_sub_events")).as("_key_events"))
       .select(col("_repo"), col("_path"), col("_win.*"), col("_key_events"))
   }
 
@@ -176,7 +208,10 @@ object CdcApply {
 
     val prevState = snap.summary.get("cursors").map(SyncState.fromJson).getOrElse(SyncState.empty)
     val filtered = if (conf.parityMode) events.filter(col("op") =!= "delete") else events
-    val deduped = dedupLww(filtered)
+    val deduped = conf.saltBuckets match {
+      case Some(salts) => dedupLwwSalted(filtered, salts)
+      case None        => dedupLww(filtered)
+    }
     val spark = events.sparkSession
 
     // --- stage (ONE job: gen/source → LWW combine → bucket shuffle → parquet).

@@ -27,6 +27,35 @@ object StreamMonitor {
         max(vgtid_rank(col("vgtid"))).as("max_rank"))
       .select(col("window.start").as("w_start"), col("shard"), col("events"), col("max_rank"))
 
+  /** STREAM-STREAM interval join: each delete correlated with the writes of
+    * the same key in the preceding `horizonSecs` of event time — "how long
+    * did content live before deletion". Both sides are watermarked and the
+    * join condition carries the event-time range bound, so Spark can expire
+    * buffered state (the canonical bounded-state stream-stream join; an
+    * unbounded-condition join would accumulate state forever at 100 TB).
+    */
+  def deleteLatency(stream: DataFrame, horizonSecs: Int = 600,
+      lateSecs: Int = 60): DataFrame = {
+    val base = stream
+      .withColumn("event_time", timestamp_seconds(col("event_seq")))
+      .withColumn("_repo", coalesce(col("after.repo"), col("before.repo")))
+      .withColumn("_path", coalesce(col("after.path"), col("before.path")))
+    val writes = base.filter(col("op") =!= "delete")
+      .select(col("_repo").as("w_repo"), col("_path").as("w_path"),
+        col("event_time").as("w_time"))
+      .withWatermark("w_time", s"$lateSecs seconds")
+    val deletes = base.filter(col("op") === "delete")
+      .select(col("_repo").as("repo"), col("_path").as("path"),
+        col("event_time").as("d_time"))
+      .withWatermark("d_time", s"$lateSecs seconds")
+    deletes.join(writes,
+      col("repo") === col("w_repo") && col("path") === col("w_path") &&
+        col("w_time") >= col("d_time") - expr(s"interval $horizonSecs seconds") &&
+        col("w_time") < col("d_time"))
+      .select(col("repo"), col("path"), col("d_time"), col("w_time"),
+        (unix_timestamp(col("d_time")) - unix_timestamp(col("w_time"))).as("secs_alive"))
+  }
+
   /** Per-key running state via flatMapGroupsWithState: tracks how many times
     * each (repo, path) has been rewritten and emits a record on every change
     * whose `version_no` is the running per-key update count — custom

@@ -109,15 +109,33 @@ class ReplayParitySpec extends AnyFunSuite with SparkSupport {
     assert(r2.stats.values.map(_.rows).sum == full.count())
   }
 
-  test("dedupLww (max_by combine) ≡ dedupLwwWindow (reference window shape)") {
+  test("dedupLww (max_by combine) ≡ dedupLwwWindow (reference window shape) " +
+    "≡ dedupLwwSalted (two-level salted tree)") {
     val c = GenConfig(numEvents = 10000L, numShards = 4, numRepos = 30, pathsPerRepo = 20,
       copyRows = 1000L)
     val ev = ChangelogGen.fullStream(spark, c)
     val cols = Seq("_repo", "_path", "vgtid", "event_seq", "op").map(col)
     val a = CdcApply.dedupLww(ev).select(cols: _*)
     val b = CdcApply.dedupLwwWindow(ev).select(cols: _*)
+    val s = CdcApply.dedupLwwSalted(ev, salts = 7).select(cols: _*)
     assert(a.count() == b.count())
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty, "salted tree must be equivalent")
+    // per-key event counts survive the two-level tree (cursor/lineage input)
+    val n1 = CdcApply.dedupLww(ev).select(sum(col("_key_events"))).head().getLong(0)
+    val n2 = CdcApply.dedupLwwSalted(ev, 7).select(sum(col("_key_events"))).head().getLong(0)
+    assert(n1 == n2 && n1 == ev.count())
+  }
+
+  test("salted apply end-to-end reaches the same oracle state") {
+    val c = GenConfig(numEvents = 8000L, numShards = 2, numRepos = 5, pathsPerRepo = 4,
+      zipfSkew = 6.0) // few keys + heavy skew: the key-flood regime salting targets
+    val t = new LakeTable(tmpDir("salted") + "/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val res = CdcApply.replayAll(t, ChangelogGen.changelog(spark, c),
+      CdcApply.ApplyConfig(saltBuckets = Some(8)))
+    assert(!res.skipped && res.stats.nonEmpty)
+    assertParity(t, ChangelogGen.expectedFinalState(spark, c))
   }
 
   test("metadata injection: winning event's vgtid/seq stamped per row " +

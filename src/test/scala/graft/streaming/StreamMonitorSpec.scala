@@ -33,6 +33,31 @@ class StreamMonitorSpec extends AnyFunSuite with SparkSupport {
     assert(rates.select(countDistinct(col("shard"))).head().getLong(0) == 2)
   }
 
+  test("stream-stream interval join: deletes correlated with prior writes of the key") {
+    val c = GenConfig(numEvents = 6000L, numShards = 2, numRepos = 20, pathsPerRepo = 10,
+      deleteRatio = 0.15)
+    val rc = CdcStream.RunConfig(c, "", tmpDir("ssj") + "/cp",
+      maxEventsPerTrigger = Some(2000L))
+    val stream = spark.readStream.format("graft-changelog")
+      .options(CdcStream.sourceOptions(rc)).load()
+    val joined = StreamMonitor.deleteLatency(stream, horizonSecs = 600, lateSecs = 60)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("latency")
+      .option("checkpointLocation", rc.checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.sql("SELECT * FROM latency")
+    assert(out.count() > 0, "no delete/write correlations emitted")
+    // the range bound holds for every emitted pair
+    assert(out.filter(col("secs_alive") <= 0 || col("secs_alive") > 600).count() == 0)
+    // batch oracle: same join over the batch-generated stream, identical rows
+    val batch = graft.genlog.ChangelogGen.changelog(spark, c)
+    val want = StreamMonitor.deleteLatency(
+      batch.withColumn("dummy", lit(1)).drop("dummy"), 600, 60)
+    assert(out.exceptAll(want).isEmpty,
+      "streaming join emitted a pair the batch join does not")
+  }
+
   test("flatMapGroupsWithState: per-key version numbers accumulate across batches") {
     import spark.implicits._
     import StreamMonitor.KeyUpdate
