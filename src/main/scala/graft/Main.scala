@@ -168,7 +168,10 @@ object Main {
                 parityMode = o.get("parity").exists(_.toBoolean),
                 startingGtids = startingGtids,
                 resumeState = resumeState,
-                useGtidWithTablePks = o.get("use_gtid_with_table_pks").exists(_.toBoolean))
+                useGtidWithTablePks = o.get("use_gtid_with_table_pks").exists(_.toBoolean),
+                useReplica = o.get("use_replica").exists(_.toBoolean),
+                useRdonly = o.get("use_rdonly").exists(_.toBoolean),
+                replicaLagEvents = o.getOrElse("replica_lag", "0").toLong)
               val t0 = System.nanoTime()
               val batches = CdcStream.runAvailableNow(spark, rc)
               val secs = (System.nanoTime() - t0) / 1e9

@@ -31,7 +31,10 @@ object CdcStream {
       startingGtids: Map[String, Map[String, String]] = Map.empty,
       numBuckets: Int = 64,
       resumeState: Map[String, graft.core.ShardCursor] = Map.empty,
-      useGtidWithTablePks: Boolean = false)
+      useGtidWithTablePks: Boolean = false,
+      useReplica: Boolean = false,
+      useRdonly: Boolean = false,
+      replicaLagEvents: Long = 0L)
 
   private def startingGtidsJson(g: Map[String, Map[String, String]]): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -87,6 +90,10 @@ object CdcStream {
       "rowsPerPartition" -> rc.rowsPerPartition.toString) ++
       rc.maxEventsPerTrigger.map("maxEventsPerTrigger" -> _.toString) ++
       rc.endSeq.map("endSeq" -> _.toString) ++
+      (if (rc.useReplica) Map("useReplica" -> "true") else Map.empty) ++
+      (if (rc.useRdonly) Map("useRdonly" -> "true") else Map.empty) ++
+      (if (rc.replicaLagEvents > 0) Map("replicaLagEvents" -> rc.replicaLagEvents.toString)
+       else Map.empty) ++
       (if (rc.startingGtids.nonEmpty)
         Map("startingGtids" -> startingGtidsJson(rc.startingGtids)) else Map.empty) ++
       resumeOptions(rc) // explicit state wins over starting_gtids (read.go:169-180)

@@ -52,7 +52,9 @@ object ChangelogSource {
       rowsPerPartition: Long,
       endSeq: Option[Long],
       startingGtids: Map[String, String],
-      startingPks: Map[String, (String, String)])
+      startingPks: Map[String, (String, String)],
+      tabletType: String,
+      replicaLagEvents: Long)
 
   /** `startingGtids` option: the reference's `starting_gtids` JSON
     * (`{"<keyspace>": {"<shard>": "<gtid>"}}`, README.md:160-197) — entries
@@ -95,7 +97,14 @@ object ChangelogSource {
         root.properties().asScala.map { e =>
           e.getKey -> (e.getValue.get("repo").asText(), e.getValue.get("path").asText())
         }.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      // A19 tablet-type routing precedence: rdonly > replica > primary
+      // (reference planetscale_connection.go:43-48)
+      tabletType =
+        if (opts.get("useRdonly").exists(_.toBoolean)) "rdonly"
+        else if (opts.get("useReplica").exists(_.toBoolean)) "replica"
+        else "primary",
+      replicaLagEvents = l("replicaLagEvents", 0L))
   }
 }
 
@@ -136,10 +145,17 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private val c = opts.gen
 
-  /** Head of the simulated binlog per shard (A2 peek target). */
+  /** Head of the simulated binlog per shard (A2 peek target). A non-primary
+    * tablet tier (A19: `use_replica`/`use_rdonly` route the VStream to a
+    * replica, `planetscale_edge_database.go:507-519`) serves a LAGGED head —
+    * replication delay expressed in events; offsets are tier-independent, so
+    * switching tiers on the same checkpoint just resumes.
+    */
   private def head(shardIdx: Int): Long = {
     val total = EventGen.totalPerShard(shardIdx, c)
-    opts.endSeq.map(e => math.min(total, e)).getOrElse(total)
+    val capped = opts.endSeq.map(e => math.min(total, e)).getOrElse(total)
+    if (opts.tabletType == "primary") capped
+    else math.max(0L, capped - opts.replicaLagEvents)
   }
 
   private def fullHead: ChangelogOffset =

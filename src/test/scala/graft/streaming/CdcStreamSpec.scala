@@ -181,6 +181,32 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assertParity(b, want)
   }
 
+  test("A19 tablet-type routing: replica tier serves a lagged head; switching " +
+    "to primary on the same checkpoint drains the rest (connection.go:43-48)") {
+    val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
+    val base = tmpDir("tablet")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val lag = 500L
+    val rc = CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
+      useReplica = true, replicaLagEvents = lag)
+    assert(CdcStream.sourceOptions(rc)("useReplica") == "true")
+    CdcStream.runAvailableNow(spark, rc)
+    val m = CdcStream.readMetrics(spark, s"$base/t")
+    val expected = (0 until c.numShards).map(i => EventGen.totalPerShard(i, c) - lag).sum
+    assert(m.select(sum(col("rows"))).head().getLong(0) == expected,
+      "replica read must stop `lag` events short of the true head per shard")
+
+    // tier switch: same checkpoint, primary sees the full head → catches up
+    val applied = CdcStream.runAvailableNow(spark, rc.copy(useReplica = false))
+    assert(applied > 0, "primary should drain the replica lag")
+    assertParity(t, ChangelogGen.expectedFinalState(spark, c))
+
+    // rdonly wins over replica (reference precedence)
+    val both = CdcStream.sourceOptions(rc.copy(useRdonly = true))
+    assert(ChangelogSource.parseOptions(both).tabletType == "rdonly")
+  }
+
   test("batch scan of the source equals the batch generator (same offsets)") {
     val c = GenConfig(numEvents = 5000L, numShards = 4, numRepos = 20, pathsPerRepo = 10,
       copyRows = 400L)
