@@ -139,7 +139,8 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         // single source scan: cursors + lineage stats come back from the
-        // apply job itself (staged `_kind=s` sidecar), not a pre-scan here
+        // apply itself (recovered from the staged winners' provenance
+        // columns), not a pre-scan of the batch here
         val res = CdcApply.applyBatch(table, batch, batchId, streamId = rc.streamId,
           conf = CdcApply.ApplyConfig(parityMode = rc.parityMode))
         if (!res.skipped) {
