@@ -427,6 +427,7 @@ object SparkEntry {
   private def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), T.tokenCount(col("text")).as("tokens"),
+        T.bpeTokenCount(col("text")).as("bpe_tokens"),
         length(col("text")).as("chars"))
 
   private def textQuality(s: SparkSession, dir: String): DataFrame =

@@ -20,6 +20,17 @@ object TextFunctions {
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
+  /** BPE-ish subword token count: a GPT-2-style pre-tokenizer pattern
+    * (contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs) — restricted to RE2-safe constructs (no lookahead)
+    * so Java regex (Spark codegen) and RE2 (DuckDB oracle) count
+    * identically. A far better LLM-token estimate than whitespace words:
+    * "I'll say it's 42% done... maybe" → 10 vs 6 whitespace tokens.
+    */
+  val bpeTokenPattern = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeTokenPattern)).cast("long")
+
   /** Occurrences of a literal substring (exact integer math in any engine). */
   def occurrences(text: Column, needle: String): Column =
     ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length).cast("long")

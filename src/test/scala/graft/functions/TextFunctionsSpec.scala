@@ -13,6 +13,13 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSupport {
     assert(r == Seq(3L, 0L, 1L, 3L))
   }
 
+  test("bpeTokenCount: GPT-2-style pre-tokenizer counts (RE2-safe pattern)") {
+    val r = Seq("I'll say it's 42% done... maybe", "hello  world", "", "  ",
+      "a1b2", "don't stop, won't quit!").toDF("t")
+      .select(TextFunctions.bpeTokenCount($"t")).as[Long].collect().toSeq
+    assert(r == Seq(10L, 2L, 0L, 0L, 4L, 8L)) // cross-checked against DuckDB regexp_extract_all
+  }
+
   test("permille ratios are integer-stable") {
     val r = Seq(("abc123", 6)).toDF("t", "len")
       .select(TextFunctions.permille(TextFunctions.alphaCount($"t"), length($"t")))
