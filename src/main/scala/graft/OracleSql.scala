@@ -350,17 +350,28 @@ object OracleSql {
          FROM documents""",
 
     "text_quality" ->
-      """SELECT doc_id, alpha_pm, space_pm,
+      """SELECT doc_id, alpha_pm, space_pm, punct_pm,
+         CASE WHEN tokens = 0 THEN 0 ELSE (stop_hits*1000) // tokens END AS stop_pm,
          ((alpha_pm*4 + tok_ok*3 + space_ok*3) // 10) AS quality FROM (
-           SELECT doc_id, alpha_pm, space_pm,
+           SELECT doc_id, alpha_pm, space_pm, punct_pm, tokens,
+             (length(p)-length(replace(p,' the ','')))//5
+             + (length(p)-length(replace(p,' and ','')))//5
+             + (length(p)-length(replace(p,' of ','')))//4
+             + (length(p)-length(replace(p,' is ','')))//4
+             + (length(p)-length(replace(p,' to ','')))//4
+             + (length(p)-length(replace(p,' a ','')))//3
+             + (length(p)-length(replace(p,' in ','')))//4
+             + (length(p)-length(replace(p,' that ','')))//6 AS stop_hits,
              CASE WHEN tokens > 0 AND ((nonspace*1000) // tokens) BETWEEN 3000 AND 12000
                   THEN 1000 ELSE 0 END AS tok_ok,
              CASE WHEN space_pm BETWEEN 50 AND 400 THEN 1000 ELSE 0 END AS space_ok
-           FROM (SELECT doc_id,
+           FROM (SELECT doc_id, ' ' || text || ' ' AS p,
              CASE WHEN length(text)=0 THEN 0
                   ELSE (length(regexp_replace(text,'[^A-Za-z]','','g'))*1000) // length(text) END AS alpha_pm,
              CASE WHEN length(text)=0 THEN 0
                   ELSE (length(regexp_replace(text,'[^ ]','','g'))*1000) // length(text) END AS space_pm,
+             CASE WHEN length(text)=0 THEN 0
+                  ELSE (length(regexp_replace(text,'[^.,!?;:]','','g'))*1000) // length(text) END AS punct_pm,
              length(regexp_replace(text,'\s+','','g')) AS nonspace,
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS tokens
@@ -410,6 +421,33 @@ object OracleSql {
                  ((64 + (n_bytes % 64) * 4) * 3) // 4 AS h,
                  CASE n_bytes % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
                FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents))""",
+
+    // full IVF mirror: same seed centroids, cell assignment, nprobe probing,
+    // cosine rank — algorithm parity, not a recall bound
+    "sim_knn_ivf" ->
+      """WITH emb AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+          cent AS (SELECT id AS cent_id, vec AS cvec FROM emb WHERE id < 16),
+          corpus_cells AS (
+            SELECT id, cell FROM (
+              SELECT e.id, c.cent_id AS cell,
+                row_number() OVER (PARTITION BY e.id
+                  ORDER BY list_cosine_similarity(e.vec, c.cvec) DESC, c.cent_id ASC) AS rn
+              FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+          query_cells AS (
+            SELECT id, cell FROM (
+              SELECT e.id, c.cent_id AS cell,
+                row_number() OVER (PARTITION BY e.id
+                  ORDER BY list_cosine_similarity(e.vec, c.cvec) DESC, c.cent_id ASC) AS rn
+              FROM emb e CROSS JOIN cent c WHERE e.id < 8) WHERE rn <= 4),
+          cand AS (SELECT q.id AS query_id, x.id AS neighbor_id
+                   FROM query_cells q JOIN corpus_cells x USING (cell)
+                   WHERE x.id <> q.id)
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(a.vec, b.vec) DESC, neighbor_id ASC) AS rank
+           FROM cand JOIN emb a ON a.id = query_id JOIN emb b ON b.id = neighbor_id)
+         WHERE rank <= 5""",
 
     "multimodal_frames" ->
       """SELECT doc_id, unnest(range(0, frames, 4)) AS frame_idx, frames AS n_frames,

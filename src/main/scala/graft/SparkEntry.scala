@@ -435,6 +435,8 @@ object SparkEntry {
       .select(col("doc_id"),
         T.permille(T.alphaCount(col("text")), length(col("text"))).as("alpha_pm"),
         T.permille(T.spaceCount(col("text")), length(col("text"))).as("space_pm"),
+        T.punctPermille(col("text")).as("punct_pm"),
+        T.stopwordPermille(col("text")).as("stop_pm"),
         T.qualityScore(col("text")).as("quality"))
 
   private def textLangid(s: SparkSession, dir: String): DataFrame =
@@ -553,6 +555,17 @@ object SparkEntry {
     V.bruteForceTopK(emb.filter(col("id") < 8), emb, 5)
   }
 
+  /** IVF probe path: seed centroids = embeddings 0..15 (deterministic, so
+    * the DuckDB oracle mirrors the exact algorithm — cell assignment,
+    * nprobe=4 probing, cosine rank — not just a recall bound).
+    */
+  private def simKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    V.ivfTopK(emb.filter(col("id") < 8), emb, emb.filter(col("id") < 16),
+      k = 5, nprobe = 4)
+  }
+
   private def simKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -641,6 +654,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding,
     "sim_knn_cosine" -> simKnnCosine,
+    "sim_knn_ivf" -> simKnnIvf,
     "sim_knn_lsh" -> simKnnLsh,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames

@@ -42,6 +42,25 @@ object TextFunctions {
   def alphaCount(text: Column): Column = length(regexp_replace(text, "[^A-Za-z]", ""))
   def digitCount(text: Column): Column = length(regexp_replace(text, "[^0-9]", ""))
   def spaceCount(text: Column): Column = length(regexp_replace(text, "[^ ]", ""))
+  def punctCount(text: Column): Column = length(regexp_replace(text, "[^.,!?;:]", ""))
+
+  /** Per-mille of characters that are punctuation (C4/Gopher-style signal:
+    * heavy punctuation marks boilerplate/code, none marks run-on scrape).
+    */
+  def punctPermille(text: Column): Column = permille(punctCount(text), length(text))
+
+  /** English stopword markers (space-delimited hits on the padded text,
+    * mirroring [[langMarkers]]' counting) — the Gopher-style "has function
+    * words" quality signal.
+    */
+  val stopwords: Seq[String] = Seq("the", "and", "of", "is", "to", "a", "in", "that")
+
+  /** Per-mille of whitespace tokens that are stopwords. */
+  def stopwordPermille(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val hits = stopwords.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+    permille(hits, tokenCount(text))
+  }
 
   /** Composite quality score in [0,1000]: alpha density + token-length sanity
     * + non-degenerate whitespace. Heuristic shape follows public quality

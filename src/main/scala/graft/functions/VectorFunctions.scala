@@ -58,6 +58,44 @@ object VectorFunctions {
     buckets.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale path
+    * alongside [[lshTopK]]: every corpus vector is assigned to its nearest
+    * centroid cell ONCE (a 16-row broadcast against the corpus — the linear
+    * IVF assignment cost), queries probe only their `nprobe` nearest cells,
+    * and exact cosine ranks the candidates. Cells partition the corpus, so a
+    * (query, neighbor) candidate appears at most once — no pair dedup. At
+    * rest the corpus would be written partitioned by `cell` for probe-side
+    * partition pruning. Centroids here are a deterministic seed set (in
+    * production: k-means over a sample); that determinism is what lets the
+    * driver's DuckDB oracle mirror the whole algorithm.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col("id").as("cent_id"), col("vec").as("cvec")))
+    def cells(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("_cos_c").desc, col("cent_id").asc)
+      df.crossJoin(cent)
+        .withColumn("_cos_c", cosine(col(vecCol), col("cvec")))
+        .withColumn("_crank", row_number().over(w))
+        .filter(col("_crank") <= n)
+        .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+    }
+    val corpusCells = cells(
+      corpus.select(col("id").as("neighbor_id"), col("vec").as("cv")),
+      "neighbor_id", "cv", 1)
+    val queryCells = cells(
+      queries.select(col("id").as("query_id"), col("vec").as("qv")),
+      "query_id", "qv", nprobe)
+    val scored = queryCells.join(corpusCells.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs at a cosine threshold — the
     * embedding leg of the dedup family. Sign-bucket LSH generates candidates
     * (pairs colliding in ANY of `tables` hashes; never an all-pairs product),

@@ -44,4 +44,22 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkSupport {
     // every approx neighbor must share the query's sign bucket by construction
     assert(approx.nonEmpty)
   }
+
+  test("IVF top-k: nprobe probing returns candidates from probed cells only; " +
+    "recall vs brute force is sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter($"id" < 5)
+    val exact = VectorFunctions.bruteForceTopK(q, emb, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorFunctions.ivfTopK(q, emb, emb.filter($"id" < 16), k = 5, nprobe = 4)
+    val approx = ivf.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall collapsed — cell assignment broken")
+    // ranks are dense 1..k' per query
+    val ranks = ivf.groupBy($"query_id")
+      .agg(max($"rank").as("mx"), count(lit(1)).as("n"))
+      .filter($"mx" =!= $"n")
+    assert(ranks.count() == 0)
+  }
 }
