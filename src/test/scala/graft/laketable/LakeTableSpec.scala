@@ -54,6 +54,36 @@ class LakeTableSpec extends AnyFunSuite with SparkSupport {
     assert(t.currentVersion.contains(v2))
   }
 
+  test("crash-window recovery: missing version-hint recovers from the meta " +
+    "listing; a replayed commit renames over an orphaned v<N>.json") {
+    val t = newTable()
+    val df = someRows(6).withColumn("_bucket", LakeTable.bucketExpr(4))
+    t.commit(Set.empty, t.writeDataFiles(df, 0), Map("k" -> "1"))
+    assert(t.currentVersion.contains(1L))
+
+    // crash between hint delete and rename: no version-hint on disk —
+    // recovery lists meta/v*.json (every committed json is complete, it
+    // lands by temp+rename) and takes the max
+    val hint = java.nio.file.Paths.get(t.root, "meta", "version-hint.txt")
+    val hintBytes = java.nio.file.Files.readAllBytes(hint)
+    java.nio.file.Files.delete(hint)
+    assert(t.currentVersion.contains(1L), "must recover max committed version from listing")
+    assert(t.read().count() == 6)
+    java.nio.file.Files.write(hint, hintBytes)
+
+    // crash after v2.json was fully written but before the hint swap: the
+    // restart replays the same commit — the rename must overwrite the
+    // orphan, not throw FileAlreadyExists in a loop (orphan content is
+    // never parsed on this path)
+    val orphan = java.nio.file.Paths.get(t.root, "meta", "v2.json")
+    java.nio.file.Files.writeString(orphan, "{stale-orphan}")
+    val df2 = someRows(3).withColumn("_bucket", LakeTable.bucketExpr(4))
+    val snap = t.commit(Set.empty, t.writeDataFiles(df2, 0), Map("k" -> "2"))
+    assert(snap.version == 2L && t.currentVersion.contains(2L))
+    assert(t.read().count() == 9)
+    assert(t.snapshot(2L).summary("k") == "2") // orphan content replaced
+  }
+
   test("compact merges crowded buckets without changing table contents") {
     val t = newTable()
     (1 to 6).foreach { i =>
