@@ -333,6 +333,16 @@ object OracleSql {
          (8,'full_refresh',false,true,'starting_gtid')
          ) AS t(case_id, sync_mode, has_state, has_starting_gtid, effective)""",
 
+    // rename-vs-add disambiguation: alias hit on an old name → RENAME (field
+    // id preserved); alias miss ("remark" never existed) → ADD; ["null",T]
+    // union → nullable T
+    "catalog_evolution" ->
+      """SELECT * FROM (VALUES
+         ('repo','kept',''),('path','kept',''),
+         ('body','renamed','content'),('size','kept',''),
+         ('stars','added','INT'),('note','added','STRING')
+         ) AS t(field, disposition, detail)""",
+
     "shard_enum" ->
       """SELECT * FROM (VALUES ('-20',true),('20-40',false),('40-60',false),('60-80',true),
          ('80-a0',false),('a0-c0',false),('c0-e0',false),('e0-',true)) AS t(shard, selected)""",

@@ -406,6 +406,38 @@ object SparkEntry {
     }.toDF("case_id", "sync_mode", "has_state", "has_starting_gtid", "effective")
   }
 
+  /** A10/north-star schema evolution: Avro version-bump diff → Iceberg-style
+    * RENAME (alias matches an old name — field id preserved) vs ADD
+    * (SURVEY §7.4's rename-vs-add disambiguation), incl. nullable unions.
+    */
+  private def catalogEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.laketable.AvroSchema
+    val v0 =
+      """{"type":"record","name":"repo_content","fields":[
+         {"name":"repo","type":"string"},{"name":"path","type":"string"},
+         {"name":"content","type":"string"},{"name":"size","type":"long"}]}"""
+    val v1 =
+      """{"type":"record","name":"repo_content","fields":[
+         {"name":"repo","type":"string"},{"name":"path","type":"string"},
+         {"name":"body","type":"string","aliases":["content"]},
+         {"name":"size","type":"long"},
+         {"name":"stars","type":"int"},
+         {"name":"note","type":["null","string"],"aliases":["remark"]}]}"""
+    val oldFields = AvroSchema.parse(v0)
+    val newFields = AvroSchema.parse(v1)
+    val (renames, adds) = AvroSchema.diff(oldFields, newFields)
+    val addMap = adds.toMap
+    val renamedFrom = renames.map(_.swap)
+    newFields.map { f =>
+      val (disposition, detail) =
+        renamedFrom.get(f.name).map(from => ("renamed", from))
+          .orElse(addMap.get(f.name).map(t => ("added", t)))
+          .getOrElse(("kept", ""))
+      (f.name, disposition, detail)
+    }.toDF("field", "disposition", "detail")
+  }
+
   /** A12/A13: shard enumeration + configured-subset validation. */
   private def shardEnum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -643,6 +675,7 @@ object SparkEntry {
     "catalog_gc_filter" -> catalogGcFilter,
     "catalog_type_map" -> catalogTypeMap,
     "catalog_sync_modes" -> catalogSyncModes,
+    "catalog_evolution" -> catalogEvolution,
     "shard_enum" -> shardEnum,
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,
