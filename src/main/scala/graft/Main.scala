@@ -69,7 +69,7 @@ object Main {
     verb match {
       case "spec" =>
         println(
-          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"}}}}""")
+          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"}}}}""")
 
       case "check" =>
         val spark = session()
@@ -134,17 +134,26 @@ object Main {
           o.get("catalog") match {
             case Some(catPath) =>
               // multi-stream configured catalog (reference read.go:103-138):
-              // per-stream table + checkpoint, sync_mode honored
+              // per-stream table + checkpoint, sync_mode honored; a --state
+              // file is merged per stream (incremental only — read.go:151-184)
               val catalog = graft.core.ConfiguredCatalog.fromJson(
                 new String(java.nio.file.Files.readAllBytes(
                   java.nio.file.Paths.get(catPath)), "UTF-8"))
+              val catalogState = o.get("state").map { path =>
+                SyncState.fromJson(new String(java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(path)), "UTF-8"))
+              }.getOrElse(SyncState.empty)
               val t0 = System.nanoTime()
               val batches = CdcStream.runCatalog(spark, catalog, s =>
                 CdcStream.RunConfig(genConfig(o), s"$root/${s.name}", s"$cp/${s.name}",
                   maxEventsPerTrigger = o.get("maxPerTrigger").map(_.toLong),
                   parityMode = o.get("parity").exists(_.toBoolean),
                   startingGtids = startingGtids,
-                  numBuckets = o.getOrElse("buckets", "64").toInt))
+                  numBuckets = o.getOrElse("buckets", "64").toInt,
+                  useGtidWithTablePks = o.get("use_gtid_with_table_pks").exists(_.toBoolean),
+                  includeMetadata = o.get("include_metadata").exists(_.toBoolean)),
+                state = catalogState,
+                maxConcurrentStreams = o.getOrElse("stream_concurrency", "4").toInt)
               val secs = (System.nanoTime() - t0) / 1e9
               val per = catalog.streams.map { s =>
                 val t = new LakeTable(s"$root/${s.name}", spark)
@@ -153,8 +162,14 @@ object Main {
               println(f"""{"type":"SYNC_SUMMARY","seconds":$secs%.1f,"streams":[$per]}""")
             case None =>
               val t = new LakeTable(root, spark)
-              if (t.currentVersion.isEmpty) t.create(ChangeEvent.rowSchema, numBuckets =
-                o.getOrElse("buckets", "64").toInt)
+              // --include_metadata: land the _graft_* provenance columns
+              // (reference include_metadata, spec.json:63 +
+              // planetscale_edge_database.go:560-574)
+              if (t.currentVersion.isEmpty) t.create(
+                if (o.get("include_metadata").exists(_.toBoolean))
+                  ChangeEvent.rowSchemaWithMeta
+                else ChangeEvent.rowSchema,
+                numBuckets = o.getOrElse("buckets", "64").toInt)
               // --state <file>: SyncState JSON (the reference's state file);
               // per-shard cursors resume the stream, PK watermarks resume the
               // COPY phase (position cleared unless --use_gtid_with_table_pks)
@@ -171,7 +186,8 @@ object Main {
                 useGtidWithTablePks = o.get("use_gtid_with_table_pks").exists(_.toBoolean),
                 useReplica = o.get("use_replica").exists(_.toBoolean),
                 useRdonly = o.get("use_rdonly").exists(_.toBoolean),
-                replicaLagEvents = o.getOrElse("replica_lag", "0").toLong)
+                replicaLagEvents = o.getOrElse("replica_lag", "0").toLong,
+                includeMetadata = o.get("include_metadata").exists(_.toBoolean))
               val t0 = System.nanoTime()
               val batches = CdcStream.runAvailableNow(spark, rc)
               val secs = (System.nanoTime() - t0) / 1e9

@@ -162,7 +162,8 @@ object CdcApply {
     * VGTID events regardless of row emission). The native path derives stats
     * from the staged winners instead — one scan.
     */
-  def statsFromEvents(batch: DataFrame, prevState: SyncState): Map[String, ShardStats] =
+  def statsFromEvents(batch: DataFrame, prevState: SyncState,
+      streamName: String = "repo_content"): Map[String, ShardStats] =
     batch.groupBy(col("keyspace"), col("shard")).agg(
       max_by(col("vgtid"), struct(vgtid_rank(col("vgtid")), col("event_seq"))).as("_s_vend"),
       max(when(col("is_copy_phase"), lit(0)).otherwise(lit(1))).as("_s_catchup"),
@@ -173,30 +174,38 @@ object CdcApply {
       count(lit(1)).as("_s_rows"))
       .collect().map { r =>
         statsFromRow(r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
-          Option(r.getString(4)), Option(r.getString(5)), r.getLong(6), prevState)
+          Option(r.getString(4)), Option(r.getString(5)), r.getLong(6), prevState, streamName)
       }.toMap
 
   private def statsFromRow(ks: String, shard: String, vEnd: String, catchup: Int,
       pkRepo: Option[String], pkPath: Option[String], rows: Long,
-      prevState: SyncState): (String, ShardStats) = {
+      prevState: SyncState, streamName: String): (String, ShardStats) = {
     val pk = if (catchup == 1) None
              else for { r <- pkRepo; p <- pkPath } yield LastPk(r, p)
-    val prevPos = prevState.cursorFor(s"$ks:repo_content", shard).map(_.position).getOrElse("")
+    val prevPos = prevState.cursorFor(s"$ks:$streamName", shard).map(_.position).getOrElse("")
     shard -> ShardStats(ShardCursor(ks, shard, vEnd, pk), rows, prevPos, vEnd)
   }
 
   /** Apply one batch. Idempotent: replaying a batch whose id was already
     * committed (crash between sink write and checkpoint advance) is a no-op,
     * which is what makes restart-from-checkpoint exactly-once. Per-shard end
-    * cursors are derived INSIDE the staging job (stats sidecar rows under
-    * `_kind=s`), so the source is scanned exactly once per batch.
+    * cursors are derived INSIDE the staging job — the winner rows carry
+    * `_s_*` provenance columns into the staged parquet, and cursors/lineage
+    * are aggregated from a column-pruned read of those already-written files
+    * — so the source is scanned exactly once per batch.
+    *
+    * `streamName` is the source TABLE name: committed cursors are keyed
+    * `<keyspace>:<streamName>` (the reference's `namespace + ":" + name`
+    * state key, `read.go:108`), so multi-stream catalog state round-trips
+    * through `SyncState.readState` and reference-shaped `--state` files.
     */
   def applyBatch(
       table: LakeTable,
       events: DataFrame,
       batchId: Long,
       streamId: String = "default",
-      conf: ApplyConfig = ApplyConfig()): ApplyResult = {
+      conf: ApplyConfig = ApplyConfig(),
+      streamName: String = "repo_content"): ApplyResult = {
 
     val snap = table.currentSnapshot.getOrElse(
       throw new IllegalStateException("LakeTable.create() first"))
@@ -256,13 +265,14 @@ object CdcApply {
       // winners (or, in parity mode, from a re-scan of the raw batch so
       // dropped deletes still advance positions) ---
       val stats: Map[String, ShardStats] =
-        if (conf.parityMode) statsFromEvents(events, prevState)
+        if (conf.parityMode) statsFromEvents(events, prevState, streamName)
         else {
           val kinds = Seq("u", "d").flatMap(table.stagedKindDf(spark, stage, _))
           if (kinds.isEmpty) Map.empty
           else statsFromStaged(kinds.reduce(_.unionByName(_))).collect().map { r =>
             statsFromRow(r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
-              Option(r.getString(4)), Option(r.getString(5)), r.getLong(6), prevState)
+              Option(r.getString(4)), Option(r.getString(5)), r.getLong(6), prevState,
+              streamName)
           }.toMap
         }
       val cursors = stats.map { case (s, st) => s -> st.cursor }
@@ -290,11 +300,14 @@ object CdcApply {
 
       // --- transactional cursor + lineage commit ---
       val merged = cursors.values.foldLeft(prevState) { (st, c) =>
-        val stateKey = s"${c.keyspace}:repo_content"
+        val stateKey = s"${c.keyspace}:$streamName"
         // never move a cursor backwards (containment order, not lexicographic;
-        // blank positions never compare after — reference positionAfter guard)
+        // blank positions never compare after — reference positionAfter
+        // guard), and never REPLACE a valid cursor with a blank one (a batch
+        // whose winners carry no position must not regress the shard)
         val keep = st.cursorFor(stateKey, c.shard) match {
-          case Some(old) if VGtid.positionAfter(old.position, c.position) => old
+          case Some(old) if c.position.isEmpty ||
+            VGtid.positionAfter(old.position, c.position) => old
           case _ => c
         }
         st.updated(stateKey, keep)

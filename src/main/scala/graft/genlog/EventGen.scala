@@ -210,9 +210,23 @@ object EventGen {
   def positionForPk(shardIdx: Int, repo: String, path: String, c: GenConfig): Long = {
     val paths = sortedPaths(c)
     val p = paths.length
-    val repoIdx = repo.stripPrefix("repo-").toInt
+    val repoIdx =
+      try {
+        require(repo.startsWith("repo-"), s"not a repo name: '$repo'")
+        repo.stripPrefix("repo-").toInt
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"unresolvable LastPk watermark: repo '$repo' does not name a known repo " +
+            s"(expected 'repo-<n>'): ${e.getMessage}", e)
+      }
     val localRepo = (repoIdx - shardIdx) / c.numShards
-    val pathIdx = math.max(0, paths.indexWhere(_._1 == path))
+    val pathIdx = paths.indexWhere(_._1 == path)
+    // a corrupt/foreign watermark must surface, not silently resume at the
+    // repo's first copy row (skipping data)
+    require(pathIdx >= 0,
+      s"unresolvable LastPk watermark: path '$path' is not in this table's copy order")
+    require(localRepo >= 0 && repoIdx % c.numShards == shardIdx,
+      s"unresolvable LastPk watermark: repo '$repo' does not belong to shard $shardIdx")
     math.min(copyPerShard(c), localRepo.toLong * p + pathIdx + 1)
   }
 

@@ -210,8 +210,9 @@ final class LakeTable(val root: String, spark: SparkSession) {
   private[graft] def stagedCount(spark2: SparkSession, stage: Path, kind: String): Long =
     stagedKindDf(spark2, stage, kind).map(_.count()).getOrElse(0L)
 
-  /** Merge keys present in the staged batch (upsert + delete kinds only;
-    * the tiny `s` stats sidecar has null keys) — column-pruned read.
+  /** Merge keys present in the staged batch (both `u` and `d` kinds; the
+    * per-shard stats provenance rides as `_s_*` columns ON the winner rows,
+    * pruned away here) — column-pruned read.
     */
   private[graft] def stagedKeys(spark2: SparkSession, stage: Path,
       keyCols: Seq[String]): DataFrame =

@@ -26,6 +26,9 @@ object CdcStream {
       rowsPerPartition: Long = 250000L,
       parityMode: Boolean = false,
       streamId: String = "default",
+      // source TABLE name — committed cursors are keyed <keyspace>:<streamName>
+      // (reference state key, read.go:108)
+      streamName: String = "repo_content",
       compactEvery: Option[Int] = None,
       maxFilesPerBucket: Int = 4,
       startingGtids: Map[String, Map[String, String]] = Map.empty,
@@ -34,7 +37,10 @@ object CdcStream {
       useGtidWithTablePks: Boolean = false,
       useReplica: Boolean = false,
       useRdonly: Boolean = false,
-      replicaLagEvents: Long = 0L)
+      replicaLagEvents: Long = 0L,
+      // reference `include_metadata` (spec.json:63): create the table with
+      // the _graft_vgtid/_graft_seq/_graft_extracted_at provenance columns
+      includeMetadata: Boolean = false)
 
   private def startingGtidsJson(g: Map[String, Map[String, String]]): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -142,7 +148,8 @@ object CdcStream {
         // apply itself (recovered from the staged winners' provenance
         // columns), not a pre-scan of the batch here
         val res = CdcApply.applyBatch(table, batch, batchId, streamId = rc.streamId,
-          conf = CdcApply.ApplyConfig(parityMode = rc.parityMode))
+          conf = CdcApply.ApplyConfig(parityMode = rc.parityMode),
+          streamName = rc.streamName)
         if (!res.skipped) {
           batches += 1
           writeMetrics(spark, rc.tableRoot, batchId, res.stats,
@@ -168,30 +175,60 @@ object CdcStream {
   /** The reference's `read` verb over a configured catalog
     * (`cmd/airbyte-source/read.go:103-138` + sync-mode handling
     * `read.go:151-184`): one ingest pass per configured stream. A stream in
-    * `incremental` mode resumes from its checkpoint + table cursors; any
-    * non-incremental mode (`full_refresh`; `append` = cursor reset) DROPS
-    * the stream's checkpoint and lake table and re-ingests from scratch.
-    * Each stream gets its own table root + checkpoint under the run dirs
-    * (streams are independent queries — the parallelism axis the reference's
-    * sequential loop lacks). Returns batches applied per stream name.
+    * `incremental` mode resumes from its checkpoint + table cursors (and,
+    * when a `--state` file is supplied, from its per-shard cursors — the
+    * reference merges the state file with the catalog per stream,
+    * `read.go:151-184`); any non-incremental mode (`full_refresh`;
+    * `append` = cursor reset) DROPS the stream's checkpoint and lake table,
+    * ignores supplied state, and re-ingests from scratch.
+    *
+    * Streams run as CONCURRENT AvailableNow queries on a bounded pool —
+    * each has its own table root + checkpoint, so they share nothing but
+    * the SparkSession's executors. This is the parallelism axis the
+    * reference's sequential stream loop lacks (SURVEY A20): a 100-table
+    * catalog overlaps its 100 ingest passes instead of serializing them,
+    * and each stream's own shard×chunk task parallelism still applies
+    * inside its batches. Returns batches applied per stream name.
     */
   def runCatalog(
       spark: SparkSession,
       catalog: graft.core.ConfiguredCatalog,
-      rcFor: graft.core.ConfiguredStream => RunConfig): Map[String, Long] =
-    catalog.streams.map { s =>
-      val rc0 = rcFor(s)
-      val rc = rc0.copy(gen = rc0.gen.copy(keyspace = s.namespace), streamId = s.stateKey)
-      val table = new LakeTable(rc.tableRoot, spark)
-      if (!s.incrementalSyncRequested) {
-        // cursor reset: checkpoint + table state discarded (read.go:169-180)
-        table.drop()
-        val cpPath = new org.apache.hadoop.fs.Path(rc.checkpoint)
-        val fs = cpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(cpPath)) fs.delete(cpPath, true)
+      rcFor: graft.core.ConfiguredStream => RunConfig,
+      state: graft.core.SyncState = graft.core.SyncState.empty,
+      maxConcurrentStreams: Int = 4): Map[String, Long] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrentStreams, catalog.streams.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = catalog.streams.map { s =>
+        Future {
+          val rc0 = rcFor(s)
+          // supplied state resumes ONLY incremental streams (read.go:169-180)
+          val resume =
+            if (s.incrementalSyncRequested) state.streams.getOrElse(s.stateKey, Map.empty)
+            else Map.empty[String, graft.core.ShardCursor]
+          val rc = rc0.copy(gen = rc0.gen.copy(keyspace = s.namespace),
+            streamId = s.stateKey, streamName = s.name,
+            resumeState = if (rc0.resumeState.nonEmpty) rc0.resumeState else resume)
+          val table = new LakeTable(rc.tableRoot, spark)
+          if (!s.incrementalSyncRequested) {
+            // cursor reset: checkpoint + table state discarded (read.go:169-180)
+            table.drop()
+            val cpPath = new org.apache.hadoop.fs.Path(rc.checkpoint)
+            val fs = cpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(cpPath)) fs.delete(cpPath, true)
+          }
+          if (table.currentVersion.isEmpty)
+            table.create(
+              if (rc.includeMetadata) graft.core.ChangeEvent.rowSchemaWithMeta
+              else graft.core.ChangeEvent.rowSchema,
+              rc.numBuckets)
+          s.name -> runAvailableNow(spark, rc)
+        }
       }
-      if (table.currentVersion.isEmpty)
-        table.create(graft.core.ChangeEvent.rowSchema, rc.numBuckets)
-      s.name -> runAvailableNow(spark, rc)
-    }.toMap
+      Await.result(Future.sequence(futures), Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
 }

@@ -181,6 +181,71 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assertParity(b, want)
   }
 
+  test("catalog streams run CONCURRENTLY with per-stream state keys; emitted " +
+    "state round-trips through a reference-shaped state file (read.go:108,151-184)") {
+    val c = GenConfig(numEvents = 3000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
+    val base = tmpDir("catpar")
+    val cat = graft.core.ConfiguredCatalog(Seq(
+      graft.core.ConfiguredStream("a", c.keyspace, "incremental"),
+      graft.core.ConfiguredStream("b", c.keyspace, "incremental"),
+      graft.core.ConfiguredStream("c", c.keyspace, "incremental")))
+    // track overlap: concurrent streams must be in-flight simultaneously
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    def rcFor(s: graft.core.ConfiguredStream) = {
+      val n = inFlight.incrementAndGet()
+      maxInFlight.accumulateAndGet(n, math.max)
+      Thread.sleep(150) // widen the overlap window
+      inFlight.decrementAndGet()
+      CdcStream.RunConfig(c, s"$base/${s.name}", s"$base/cp/${s.name}", numBuckets = 4)
+    }
+    val r1 = CdcStream.runCatalog(spark, cat, rcFor, maxConcurrentStreams = 3)
+    assert(r1.values.forall(_ > 0))
+    assert(maxInFlight.get() >= 2, s"streams ran sequentially (max in flight ${maxInFlight.get()})")
+    val want = ChangelogGen.expectedFinalState(spark, c)
+    Seq("a", "b", "c").foreach(n => assertParity(new LakeTable(s"$base/$n", spark), want))
+
+    // per-stream state keys: namespace:name, NOT the hardcoded table name —
+    // so the emitted state round-trips through SyncState.fromJson
+    Seq("a", "b", "c").foreach { n =>
+      val st = SyncState.fromJson(new LakeTable(s"$base/$n", spark).summaryValue("cursors").get)
+      assert(st.streams.keySet == Set(s"${c.keyspace}:$n"),
+        s"stream $n state keys: ${st.streams.keySet}")
+      assert(st.streams(s"${c.keyspace}:$n").size == c.numShards)
+    }
+
+    // reference-shaped --state file resume: feed stream a's emitted cursors
+    // into a FRESH catalog run (no checkpoint) → only the head remains, and
+    // the cursors came back through the namespace:name key
+    val emitted = SyncState.fromJson(new LakeTable(s"$base/a", spark).summaryValue("cursors").get)
+    val cat2 = graft.core.ConfiguredCatalog(Seq(
+      graft.core.ConfiguredStream("a", c.keyspace, "incremental")))
+    CdcStream.runCatalog(spark, cat2,
+      s => CdcStream.RunConfig(c, s"$base/fresh-${s.name}", s"$base/cp2/${s.name}", numBuckets = 4),
+      state = emitted)
+    // fresh checkpoint + state at head → batch 0 runs (Spark records initial
+    // offsets) but ingests NOTHING: the cursors were consumed via the
+    // namespace:name key, not reset to blank
+    assert(new LakeTable(s"$base/fresh-a", spark).read().count() == 0L,
+      "state-file cursors at head must prevent any re-ingest")
+  }
+
+  test("positionForPk surfaces corrupt/foreign watermarks instead of silently skipping rows") {
+    val c = GenConfig(numEvents = 100L, numShards = 2, numRepos = 20, pathsPerRepo = 10,
+      copyRows = 100L)
+    val good = EventGen.copyEvent(0, 5, c, EventGen.sortedPaths(c)).last_pk.get
+    assert(EventGen.positionForPk(0, good.repo, good.path, c) == 6L)
+    intercept[IllegalArgumentException] {
+      EventGen.positionForPk(0, good.repo, "not/a/real/path.xyz", c)
+    }
+    intercept[IllegalArgumentException] {
+      EventGen.positionForPk(0, "bogus-name", good.path, c)
+    }
+    intercept[IllegalArgumentException] { // repo striped to shard 1, asked of shard 0
+      EventGen.positionForPk(0, EventGen.repoName(1), good.path, c)
+    }
+  }
+
   test("A19 tablet-type routing: replica tier serves a lagged head; switching " +
     "to primary on the same checkpoint drains the rest (connection.go:43-48)") {
     val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
