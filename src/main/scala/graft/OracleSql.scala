@@ -237,6 +237,41 @@ object OracleSql {
            ON e.event_type = s.event_type AND e.event_id <= s.stop_id
          GROUP BY 1""",
 
+    // full relational mirror of the wire-typed ingest: same deterministic
+    // generation from customer, LWW = max version per key (rank 2 > 1),
+    // deletes drop k%11=0 keys, then every parseValue rule — enum index →
+    // label (0 → '', out-of-range → original), set bitmask decode (zero
+    // picked bits → original), tinyint(1) → bool, datetime → ISO (zero-date
+    // → epoch), TIMESTAMP passthrough, decimal leading-zero fix
+    "cdc_normalized_ingest" ->
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+                       WHERE c_custkey <= 600),
+          w AS (SELECT k, (k + 2) % 6 AS st_idx, (k * 7 + 2) % 33 AS mask,
+                  k % 10 AS cd, (k + 2) % 10 AS ud
+                FROM base WHERE k % 11 <> 0)
+         SELECT
+           'r' || lpad(CAST(k % 37 AS VARCHAR), 2, '0') AS repo,
+           'p' || CAST(k AS VARCHAR) AS path,
+           CASE st_idx WHEN 0 THEN '' WHEN 1 THEN 'active' WHEN 2 THEN 'inactive'
+                WHEN 3 THEN 'archived' ELSE CAST(st_idx AS VARCHAR) END AS status,
+           CASE WHEN (mask & 31) = 0 THEN CAST(mask AS VARCHAR)
+                ELSE ltrim(
+                  (CASE WHEN mask & 1 = 1 THEN ',San Francisco' ELSE '' END) ||
+                  (CASE WHEN mask & 2 = 2 THEN ',New York' ELSE '' END) ||
+                  (CASE WHEN mask & 4 = 4 THEN ',London' ELSE '' END) ||
+                  (CASE WHEN mask & 8 = 8 THEN ',San Jose' ELSE '' END) ||
+                  (CASE WHEN mask & 16 = 16 THEN ',Oakland' ELSE '' END), ',')
+           END AS locations,
+           (k % 3) <> 0 AS verified,
+           CASE WHEN cd = 0 THEN '1970-01-01T00:00:00.000000'
+                ELSE '2021-03-04T05:06:0' || CAST(cd AS VARCHAR) || '.000000'
+           END AS created_iso,
+           '2025-02-14 08:08:0' || CAST(ud AS VARCHAR) AS updated_wire,
+           CASE k % 4 WHEN 0 THEN 33 WHEN 1 THEN -77 WHEN 2 THEN 1250 ELSE -25
+           END AS balance_cents,
+           k % 900 + 200 AS stars
+         FROM w""",
+
     // out-of-range index ('9') and zero SET mask ('0') return the ORIGINAL
     // value (mapEnumValue/mapSetValue fallthroughs, types.go:334-386)
     "norm_enum" ->

@@ -306,6 +306,85 @@ object SparkEntry {
       .select(col("v"), N.decimalFix(col("v")).as("fixed"))
   }
 
+  /** Wire-typed stream column spec shared by the `cdc_normalized_ingest`
+    * query and `WireIngestSpec`: MySQL type DDL per column, the shape the
+    * reference's discovery reads from information_schema. Labels for enum/
+    * set come from `TypeMap.parseEnumOrSetValues` (reference
+    * `types.go:260-282`) — nothing is pre-parsed.
+    */
+  val wireProfileSpec: graft.core.WireTableSpec = graft.core.WireTableSpec(Seq(
+    graft.core.WireColumn("repo", "varchar(64)", "NO"),
+    graft.core.WireColumn("path", "varchar(128)", "NO"),
+    graft.core.WireColumn("status", "enum('active','inactive','archived')"),
+    graft.core.WireColumn("locations",
+      "set('San Francisco','New York','London','San Jose','Oakland')"),
+    graft.core.WireColumn("verified", "tinyint(1)"),
+    graft.core.WireColumn("created_at", "datetime"),
+    graft.core.WireColumn("updated_at", "timestamp"),
+    graft.core.WireColumn("balance", "decimal(10,2)"),
+    graft.core.WireColumn("stars", "bigint")))
+
+  /** Normalization WIRED INTO THE INGEST PATH (the reference runs
+    * `parseValue` on every synced row, `types.go:139-220`): a raw
+    * wire-string changelog — enum indexes, set bitmasks, tinyint digits,
+    * zero-dates, bare `.33` decimals — derived deterministically from the
+    * customer table, two versions per key plus deletes, is LWW-merged
+    * through `CdcApply.applyBatch` with a [[wireProfileSpec]]. The lake
+    * table lands TYPED (boolean/timestamp_ntz/decimal/bigint) and
+    * NORMALIZED; the oracle mirrors generation + LWW + every normalization
+    * rule relationally in DuckDB.
+    */
+  private def cdcNormalizedIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = wireProfileSpec
+    val k = col("k")
+    val ver = col("ver")
+    val ev = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("k")).filter(k <= 600)
+      .crossJoin(Seq(1L, 2L).toDF("ver"))
+      .withColumn("_repo_w", concat(lit("r"), lpad(pmod(k, lit(37)).cast("string"), 2, "0")))
+      .withColumn("_path_w", concat(lit("p"), k.cast("string")))
+      .withColumn("_op",
+        when(ver === 2 && pmod(k, lit(11)) === 0, lit("delete"))
+          .when(ver === 1, lit("insert")).otherwise(lit("update")))
+    def wireRow(nullOthers: Boolean): Column = {
+      def v(c: Column): Column = if (nullOthers) lit(null).cast("string") else c
+      struct(
+        col("_repo_w").as("repo"), col("_path_w").as("path"),
+        v(pmod(k + ver, lit(6)).cast("string")).as("status"),
+        v(pmod(k * 7 + ver, lit(33)).cast("string")).as("locations"),
+        v(pmod(k, lit(3)).cast("string")).as("verified"),
+        v(when(pmod(k, lit(10)) === 0, lit("0000-00-00 00:00:00"))
+          .otherwise(concat(lit("2021-03-04 05:06:0"), pmod(k, lit(10))))).as("created_at"),
+        v(concat(lit("2025-02-14 08:08:0"), pmod(k + ver, lit(10)))).as("updated_at"),
+        v(when(pmod(k, lit(4)) === 0, ".33").when(pmod(k, lit(4)) === 1, "-.77")
+          .when(pmod(k, lit(4)) === 2, "12.5").otherwise("-0.25")).as("balance"),
+        v((pmod(k, lit(900)) + ver * 100).cast("string")).as("stars"))
+    }
+    val events = ev.select(
+      lit("ks").as("keyspace"),
+      when(pmod(k, lit(2)) === 0, "-80").otherwise("80-").as("shard"),
+      concat(lit("MySQL56/aaaaaaaa-0000-0000-0000-00000000000"),
+        pmod(k, lit(2)), lit(":1-"), ver).as("vgtid"),
+      ver.as("event_seq"),
+      col("_op").as("op"),
+      when(col("_op") === "delete", wireRow(nullOthers = true)).as("before"),
+      when(col("_op") =!= "delete", wireRow(nullOthers = false)).as("after"),
+      lit(false).as("is_copy_phase"),
+      lit(null).cast("struct<repo:string,path:string>").as("last_pk"),
+      lit(1).as("schema_version"))
+    val root = java.nio.file.Files.createTempDirectory("graft-wire").toString + "/t"
+    val table = new LakeTable(root, s)
+    table.create(ws.landingSchema, numBuckets = 8)
+    CdcApply.replayAll(table, events, CdcApply.ApplyConfig(wireSpec = Some(ws)))
+    table.read().select(
+      col("repo"), col("path"), col("status"), col("locations"), col("verified"),
+      date_format(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("created_iso"),
+      date_format(col("updated_at"), "yyyy-MM-dd HH:mm:ss").as("updated_wire"),
+      (col("balance") * 100).cast("long").as("balance_cents"),
+      col("stars"))
+  }
+
   /** A5: GTID-set containment order — multi-UUID vectors, NOT lexicographic;
     * blank positions never compare after/equal (reference string-level
     * guards, `planetscale_edge_database.go:617-652`).
@@ -664,6 +743,7 @@ object SparkEntry {
     "cdc_snapshot_chunks" -> cdcSnapshotChunks,
     "cdc_stop_position" -> cdcStopPosition,
     "cdc_replay_final_state" -> cdcReplayFinalState,
+    "cdc_normalized_ingest" -> cdcNormalizedIngest,
     "norm_enum" -> normEnum,
     "norm_set" -> normSet,
     "norm_tinyint" -> normTinyint,

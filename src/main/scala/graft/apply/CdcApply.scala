@@ -41,10 +41,16 @@ object CdcApply {
     * (deletes dropped — `planetscale_edge_database.go:398-410`); native mode
     * applies deletes as row removals. `saltBuckets` switches LWW dedup to
     * the explicitly salted two-level tree (see [[dedupLwwSalted]]) for
-    * key-flood skew.
+    * key-flood skew. `wireSpec` marks the batch as a RAW WIRE-STRING
+    * changelog: every after-image column is run through the reference's
+    * `parseValue` normalization (`types.go:139-220`) and cast to its typed
+    * landing column INSIDE the staging job — normalization is part of the
+    * ingest plan (one pass, codegen'd column expressions), not a separate
+    * post-pass over the table.
     */
   final case class ApplyConfig(parityMode: Boolean = false,
-      saltBuckets: Option[Int] = None)
+      saltBuckets: Option[Int] = None,
+      wireSpec: Option[graft.core.WireTableSpec] = None)
 
   /** LWW dedup: keep the newest event per (repo, path) by
     * (vgtid rank, event_seq) — the north-star's "(vgtid, event_seq) window".
@@ -243,8 +249,14 @@ object CdcApply {
         case Some("_graft_vgtid")        => col("vgtid").as(f.name)
         case Some("_graft_seq")          => col("event_seq").as(f.name)
         case Some("_graft_extracted_at") => current_timestamp().as(f.name)
-        case Some(orig)   => coalesce(col(s"after.$orig"),
-          nullAs(f.dataType, f.name)).as(f.name)
+        case Some(orig) =>
+          // wire-typed stream: reference parseValue normalization + typed
+          // landing cast, fused into the staging projection
+          val landed = conf.wireSpec match {
+            case Some(ws) => ws.normalizedLanding(orig, col(s"after.$orig"))
+            case None     => col(s"after.$orig")
+          }
+          coalesce(landed, nullAs(f.dataType, f.name)).as(f.name)
         case None => nullAs(f.dataType, f.name)
       }
     }

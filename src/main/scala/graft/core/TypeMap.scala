@@ -47,6 +47,21 @@ object TypeMap {
     PropertyType(types, customFormat, airbyteType)
   }
 
+  /** Exact mirror of the reference's `parseEnumOrSetValues`
+    * (`cmd/internal/types.go:260-282`): take an `enum('a','b')` / `set(...)`
+    * column-type DDL and return the label list. Faithfully byte-compatible,
+    * including the reference's quirks — greedy paren match, naive
+    * comma-split (a label containing a comma splits), quote-trim only (inner
+    * whitespace survives), and a type with no parens yields one empty label.
+    */
+  def parseEnumOrSetValues(columnType: String): Seq[String] = {
+    def trimChar(s: String, ch: Char): String =
+      s.dropWhile(_ == ch).reverse.dropWhile(_ == ch).reverse
+    val res0 = "\\((.+)\\)".r.findFirstIn(columnType).getOrElse("")
+    val res = trimChar(trimChar(res0, '('), ')')
+    res.split(",", -1).toSeq.map(trimChar(_, '\''))
+  }
+
   private val DecimalRe = """decimal\((\d+)\s*,\s*(\d+)\).*""".r
   private val DecimalPrecRe = """decimal\((\d+)\).*""".r
 

@@ -92,6 +92,47 @@ object Normalize {
   def decimalFix(c: Column): Column =
     regexp_replace(c, "^(-?)\\.", "$10.")
 
+  /** Guarded tinyint(1)→boolean for RAW WIRE STRINGS: numeric → (v != 0);
+    * non-numeric → null (the reference keeps the original string value,
+    * `mapTinyIntToBool`'s error fallback — a typed boolean landing column
+    * can't hold it, so the engine lands null instead; use a string landing
+    * column to preserve originals).
+    */
+  def tinyintBoolWire(c: Column): Column =
+    when(c.rlike("^-?[0-9]+$"), c.cast("long") =!= 0)
+
+  /** The reference's per-value `parseValue` dispatch (`types.go:175-220`),
+    * driven by the column's MySQL type DDL (which determines the wire
+    * `query.Type` the reference switches on). Applied to every value of a
+    * raw wire-string changelog INSIDE the ingest path — the analogue of the
+    * reference running `parseValue` on every synced row
+    * (`QueryResultToRecords`, `types.go:139-164`).
+    *
+    * Dispatch mirror: ENUM/SET → index/bitmask mapping with labels parsed
+    * from the DDL; DATETIME/DATE/TIME → ISO-8601 (`formatISO8601`);
+    * TIMESTAMP → NO special handling (`Type_TIMESTAMP` is in the reference's
+    * fallthrough list); DECIMAL → leading-zero fix; exactly-`tinyint(1)` →
+    * boolean unless `do_not_treat_tiny_int_as_boolean` (the reference
+    * compares the lowercased DDL for equality, so `tinyint(1) unsigned`
+    * passes through). Prefix order matters: datetime before date, timestamp
+    * before time.
+    */
+  def parseValue(c: Column, columnType: String,
+      treatTinyIntAsBoolean: Boolean = true): Column = {
+    val ty = columnType.toLowerCase
+    if (ty.startsWith("enum"))
+      mysqlEnum(c, graft.core.TypeMap.parseEnumOrSetValues(columnType))
+    else if (ty.startsWith("set"))
+      mysqlSet(c, graft.core.TypeMap.parseEnumOrSetValues(columnType))
+    else if (ty.startsWith("datetime")) isoDatetime(c)
+    else if (ty.startsWith("timestamp")) c // Type_TIMESTAMP: no special handling
+    else if (ty.startsWith("date")) isoDate(c)
+    else if (ty.startsWith("time")) isoTime(c)
+    else if (ty.startsWith("decimal")) decimalFix(c)
+    else if (ty == "tinyint(1)" && treatTinyIntAsBoolean) tinyintBoolWire(c)
+    else c
+  }
+
   /** Vitess GC / vreplication internal-table filter (`planetscale_edge_mysql.go:
     * 116-158`): drops `_vt_...` tables, old-style GC names (`_vt_DROP_...`),
     * and vreplication artifacts (`_<uuid>_<timestamp>_vrepl`-style).

@@ -1,0 +1,94 @@
+package graft.apply
+
+import graft.SparkSupport
+import graft.core.{WireColumn, WireTableSpec}
+import graft.laketable.LakeTable
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end normalization INSIDE the ingest path: raw MySQL wire strings
+  * in → normalized, typed lake rows out — the reference's `parseValue`-on-
+  * every-synced-row behavior (`types.go:139-220`), proven with the vectors
+  * of `types_test.go:81-242` (`TestCanMapEnumAndSetValues`,
+  * `TestCanMapTinyIntValues`, ISO-8601 and decimal cases).
+  */
+class WireIngestSpec extends AnyFunSuite with SparkSupport {
+
+  private val ws = WireTableSpec(Seq(
+    WireColumn("repo", "varchar(64)", "NO"),
+    WireColumn("path", "varchar(128)", "NO"),
+    WireColumn("status", "enum('active','inactive')"),
+    WireColumn("locations",
+      "set('San Francisco','New York','London','San Jose','Oakland')"),
+    WireColumn("verified", "tinyint(1)"),
+    WireColumn("created_at", "datetime"),
+    WireColumn("balance", "decimal(10,2)"),
+    WireColumn("stars", "bigint")))
+
+  private def ingest(rows: Seq[(String, String, String, String, String, String, String, String)]): LakeTable = {
+    import spark.implicits._
+    val table = new LakeTable(tmpDir("wire") + "/t", spark)
+    table.create(ws.landingSchema, numBuckets = 2)
+    val events = rows.toDF("repo", "path", "status", "locations", "verified",
+      "created_at", "balance", "stars")
+      .select(
+        lit("ks").as("keyspace"), lit("-").as("shard"),
+        lit("MySQL56/aaaaaaaa-0000-0000-0000-000000000001:1-1").as("vgtid"),
+        lit(1L).as("event_seq"), lit("insert").as("op"),
+        lit(null).cast(ws.wireRowSchema).as("before"),
+        struct(col("repo"), col("path"), col("status"), col("locations"),
+          col("verified"), col("created_at"), col("balance"), col("stars")).as("after"),
+        lit(false).as("is_copy_phase"),
+        lit(null).cast("struct<repo:string,path:string>").as("last_pk"),
+        lit(1).as("schema_version"))
+    CdcApply.replayAll(table, events, CdcApply.ApplyConfig(wireSpec = Some(ws)))
+    table
+  }
+
+  test("types_test.go vectors land normalized and typed through applyBatch") {
+    val table = ingest(Seq(
+      // enum INDEX + set BITMASK (the post-COPY wire shape): 1 → 'active',
+      // 24 = 0b11000 → 'San Jose,Oakland' (types_test.go:82-111)
+      ("r1", "p1", "1", "24", "1", "2021-03-04 05:06:07", ".33", "42"),
+      // already-mapped label + comma-joined set pass through unchanged
+      ("r1", "p2", "active", "San Francisco,Oakland", "0", "0000-00-00 00:00:00", "-.77", "7"),
+      // out-of-range enum index → ORIGINAL; zero set mask → ORIGINAL
+      ("r2", "p3", "9", "0", "2", "1999-12-31 23:59:59", "12.5", "0")))
+    val got = table.read()
+      .select(col("repo"), col("path"), col("status"), col("locations"), col("verified"),
+        date_format(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("iso"),
+        (col("balance") * 100).cast("long").as("cents"), col("stars"))
+      .orderBy("path").collect()
+    assert(got.toSeq == Seq(
+      Row("r1", "p1", "active", "San Jose,Oakland", true,
+        "2021-03-04T05:06:07.000000", 33L, 42L),
+      Row("r1", "p2", "active", "San Francisco,Oakland", false,
+        "1970-01-01T00:00:00.000000", -77L, 7L),
+      Row("r2", "p3", "9", "0", true,
+        "1999-12-31T23:59:59.000000", 1250L, 0L)))
+    // typed landing schema, not strings
+    val types = table.read().schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    assert(types("verified") == "BOOLEAN" && types("created_at") == "TIMESTAMP_NTZ" &&
+      types("balance") == "DECIMAL(10,2)" && types("stars") == "BIGINT")
+  }
+
+  test("labels come from the column type DDL (parseEnumOrSetValues), not a side channel") {
+    import graft.core.TypeMap.parseEnumOrSetValues
+    assert(parseEnumOrSetValues("enum('apple','banana','orange')") ==
+      Seq("apple", "banana", "orange"))
+    assert(parseEnumOrSetValues(
+      "set('San Francisco','New York','London','San Jose','Oakland')") ==
+      Seq("San Francisco", "New York", "London", "San Jose", "Oakland"))
+    // reference quirks preserved: no parens → one empty label
+    assert(parseEnumOrSetValues("varchar(0)") == Seq("0"))
+    assert(parseEnumOrSetValues("text") == Seq(""))
+  }
+
+  test("malformed wire values land NULL in typed columns, never fail the job (ANSI-safe)") {
+    val table = ingest(Seq(
+      ("r1", "p1", "1", "1", "not-a-number", "not-a-date", "abc", "xyz")))
+    val r = table.read().select("verified", "created_at", "balance", "stars").head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+}
