@@ -93,6 +93,36 @@ object OracleSql {
           JOIN sized nb ON nb.doc_id = b_id)
         WHERE jacc_pm >= 700"""
 
+  /** Full algorithm mirror of `VectorFunctions.lshTopK` (queries id<8, k=5,
+    * dim=64, bits=4, tables=8, seed=7): the ±1 hyperplanes are the SAME
+    * driver-side `planeSigns` arrays the Spark plan embeds, so bucket
+    * assignment, multi-table candidate union, and cosine rank reproduce the
+    * exact output — algorithm parity like `sim_knn_ivf`, not a recall bound.
+    */
+  private val lshOracle: String = {
+    val (dim, bits, tables, seed, k) = (64, 4, 8, 7L, 5)
+    val bucketExprs = (0 until tables).map { t =>
+      val planes = graft.functions.VectorFunctions.planeSigns(dim, bits, seed + t * 7919L)
+      val bitsSql = (0 until bits).map { b =>
+        val arr = planes(b).map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"(($bitsSql) * $tables + $t)"
+    }
+    s"""WITH emb AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        sb AS (SELECT id, unnest([${bucketExprs.mkString(", ")}]) AS bucket FROM emb),
+        cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+                 FROM sb q JOIN sb c USING (bucket)
+                 WHERE q.id < 8 AND c.id <> q.id)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY list_cosine_similarity(a.v, b.v) DESC, neighbor_id ASC) AS rank
+          FROM cand JOIN emb a ON a.id = query_id JOIN emb b ON b.id = neighbor_id)
+        WHERE rank <= $k"""
+  }
+
   private val ngramJaccardOracle: String =
     s"""WITH corpus AS ($plantedCorpusSql),
         sa AS (SELECT doc_id, ${shingleSql("text", 5)} AS sh FROM corpus WHERE doc_id < 1000000),
@@ -425,6 +455,7 @@ object OracleSql {
     "text_langid" -> langCase,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "sim_knn_lsh" -> lshOracle,
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
 

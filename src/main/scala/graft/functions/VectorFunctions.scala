@@ -39,19 +39,35 @@ object VectorFunctions {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Deterministic ±1 hyperplanes for [[signBucket]], computed ONCE on the
+    * driver (splitmix64 over (seed, bit, dim index) — pure Scala, no Spark),
+    * embedded as array literals in the plan. Shared with the DuckDB oracle
+    * builder so `sim_knn_lsh` mirrors the exact algorithm.
+    */
+  def planeSigns(dim: Int, bits: Int, seed: Long): IndexedSeq[Seq[Double]] =
+    (0 until bits).map { b =>
+      (0 until dim).map { i =>
+        if ((graft.genlog.EventGen.mix64(seed ^ (b.toLong << 32) ^ i.toLong) & 1L) == 0L)
+          1.0 else -1.0
+      }
+    }
+
   /** Random-hyperplane sign bucket (SimHash-for-vectors): `bits` pseudo-random
     * hyperplanes, deterministic from `seed`; vectors agreeing on every sign
     * land in one bucket. At scale the corpus is bucketed once (and could be
     * written bucket-partitioned); queries probe only their own bucket —
     * a ~2^bits-fold join reduction instead of a full cross product.
+    *
+    * The planes are PRECOMPUTED driver-side ([[planeSigns]]) and ride as
+    * array literals — the per-row cost is `bits` dot products, with zero
+    * hash evaluations (the round-2 version rebuilt each plane per row via
+    * `xxhash64`, ~dim×bits×tables hashes per row).
     */
   def signBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val planes = planeSigns(dim, bits, seed)
     val buckets = (0 until bits).map { b =>
-      // pseudo-random ±1 hyperplane from a hash of (seed, bit, dim index)
       val proj = aggregate(
-        zip_with(vec, transform(sequence(lit(0), lit(dim - 1)), i =>
-          when(pmod(xxhash64(i, lit(seed), lit(b)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-          (x, h) => x.cast("double") * h),
+        zip_with(vec, typedlit(planes(b)), (x, h) => x.cast("double") * h),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
