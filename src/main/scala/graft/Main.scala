@@ -86,6 +86,22 @@ object Main {
             println(s"""{"status":"FAILED","message":"${e.getMessage}"}""")
         } finally spark.stop()
 
+      case "discover" if o.contains("columns") =>
+        // arbitrary-table discovery from a column-spec file (the
+        // information_schema triple the reference queries) — golden-compared
+        // catalog, no table required (reference discover over any database,
+        // e2e full-catalog test `cmd/e2e/e2e_test.go:35-56`)
+        val spec = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(o("columns"))), "UTF-8")
+        val tables = graft.core.Discover.parseColumnSpec(spec)
+        val shards = ChangelogGen.shardNames(o.getOrElse("shards", "4").toInt)
+        println(graft.core.Discover.catalogJson(
+          tables,
+          keyspace = o.getOrElse("keyspace", "ks"),
+          shards = shards,
+          treatTinyIntAsBoolean = !o.get("do_not_treat_tiny_int_as_boolean").exists(_.toBoolean),
+          includeMetadata = o.get("include_metadata").exists(_.toBoolean)))
+
       case "discover" =>
         val spark = session()
         try {

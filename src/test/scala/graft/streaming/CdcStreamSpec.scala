@@ -230,6 +230,28 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
       "state-file cursors at head must prevent any re-ingest")
   }
 
+  test("include_metadata OPTION (reference spec.json:63): the flag path creates " +
+    "the table with _graft_* provenance columns and stamps them at apply time") {
+    val c = GenConfig(numEvents = 2000L, numShards = 2, numRepos = 10, pathsPerRepo = 5)
+    val base = tmpDir("withmeta")
+    val cat = graft.core.ConfiguredCatalog(Seq(
+      graft.core.ConfiguredStream("m", c.keyspace, "incremental")))
+    CdcStream.runCatalog(spark, cat, s =>
+      CdcStream.RunConfig(c, s"$base/${s.name}", s"$base/cp/${s.name}", numBuckets = 4,
+        includeMetadata = true))
+    val df = new LakeTable(s"$base/m", spark).read()
+    assert(df.columns.toSeq.takeRight(3) ==
+      Seq("_graft_vgtid", "_graft_seq", "_graft_extracted_at"))
+    assert(df.filter(col("_graft_vgtid").startsWith("MySQL56/")).count() == df.count())
+    assert(df.filter(col("_graft_seq").isNull || col("_graft_extracted_at").isNull).count() == 0)
+    // without the flag: plain schema, no metadata columns
+    val cat2 = graft.core.ConfiguredCatalog(Seq(
+      graft.core.ConfiguredStream("p", c.keyspace, "incremental")))
+    CdcStream.runCatalog(spark, cat2, s =>
+      CdcStream.RunConfig(c, s"$base/${s.name}", s"$base/cp/${s.name}", numBuckets = 4))
+    assert(!new LakeTable(s"$base/p", spark).read().columns.contains("_graft_vgtid"))
+  }
+
   test("positionForPk surfaces corrupt/foreign watermarks instead of silently skipping rows") {
     val c = GenConfig(numEvents = 100L, numShards = 2, numRepos = 20, pathsPerRepo = 10,
       copyRows = 100L)

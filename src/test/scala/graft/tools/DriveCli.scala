@@ -1,0 +1,33 @@
+package graft.tools
+
+/** CLI-surface drive: exercises `graft.Main`'s verbs end-to-end in one JVM
+  * the way a connector runtime would — spec, check, read with
+  * `--include_metadata`, then discover against the resulting table.
+  * Run: `sbt -batch "Test/runMain graft.tools.DriveCli"`.
+  */
+object DriveCli {
+  def main(args: Array[String]): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    graft.Main.main(Array("spec"))
+    graft.Main.main(Array("check", "--table", s"$base/t"))
+    graft.Main.main(Array("read",
+      "--table", s"$base/t", "--checkpoint", s"$base/cp",
+      "--events", "2000", "--shards", "2", "--repos", "10", "--paths", "5",
+      "--include_metadata", "true"))
+    graft.Main.main(Array("discover", "--table", s"$base/t"))
+    // independent session: prove the _graft_* columns landed populated
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-cli-verify")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    try {
+      val df = new graft.laketable.LakeTable(s"$base/t", spark).read()
+      val metaCols = df.columns.filter(_.startsWith("_graft_")).toSeq
+      val populated = df.filter(
+        org.apache.spark.sql.functions.col("_graft_vgtid").startsWith("MySQL56/")).count()
+      println(s"""{"cli_meta_cols":"${metaCols.mkString(",")}","rows":${df.count()},"meta_populated":$populated}""")
+      require(metaCols == Seq("_graft_vgtid", "_graft_seq", "_graft_extracted_at"))
+      require(populated == df.count() && populated > 0)
+      println("DriveCli OK")
+    } finally spark.stop()
+  }
+}
