@@ -590,7 +590,12 @@ object SparkEntry {
     // verify joins shuffle on a_id/b_id just like the band self-join does.
     val docs = plantedDocs(s, dir)
       .withColumn("sh", T.shingles(col("text"), 20))
-      .cache()
+      // explicit MEMORY_AND_DISK (Dataset.cache's default, stated here as a
+      // contract): the shingled corpus is read 3× (banding + two verify
+      // sides); at 100 TB partitions that outgrow storage memory spill to
+      // local disk instead of evicting — recompute would re-shingle the
+      // corpus twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 16 bands × 2 rows: collision probability at jaccard 0.7 is
     // 1-(1-0.49)^16 ≈ 0.99998 — empirically full recall on this corpus, so
     // the output is EXACTLY the brute-force jacc≥700 pair set and the DuckDB

@@ -26,12 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** `parts <= 0` (the default) sizes the range partitioning from
+    * `spark.sql.shuffle.partitions` — the knob a cluster already tunes to
+    * its scale — instead of a hard-coded constant; the offset join stays
+    * O(P²) on a P-row relation, trivial even at P in the thousands.
+    */
+  private def resolveParts(df: DataFrame, parts: Int): Int =
+    if (parts > 0) parts
+    else math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Adds `rankCol` (1-based global rank by `key` ascending) and `totalCol`
     * (total row count). `key` values must be unique (PK semantics).
     */
   def withGlobalRank(df: DataFrame, key: Column, rankCol: String,
-      totalCol: String, parts: Int = 32): DataFrame = {
-    val local = df.repartitionByRange(parts, key)
+      totalCol: String, parts: Int = 0): DataFrame = {
+    val local = df.repartitionByRange(resolveParts(df, parts), key)
       .withColumn("_grk_pid", spark_partition_id())
       .withColumn("_grk_lrank",
         row_number().over(Window.partitionBy(col("_grk_pid")).orderBy(key)))
@@ -54,7 +63,7 @@ object GlobalRank {
     * `total/tiles` (SQL-standard ntile).
     */
   def ntileByRange(df: DataFrame, key: Column, tiles: Int, chunkCol: String,
-      parts: Int = 32): DataFrame = {
+      parts: Int = 0): DataFrame = {
     val ranked = withGlobalRank(df, key, "_grk_rank", "_grk_tot", parts)
     val q = (col("_grk_tot") / tiles).cast("long")          // base tile size
     val r = col("_grk_tot") % tiles                          // tiles of size q+1

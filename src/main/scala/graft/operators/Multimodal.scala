@@ -63,9 +63,12 @@ object Multimodal {
       it.flatMap { case (id, bytes) =>
         val n = bytes.length
         val frames = (n + frameBytes - 1) / frameBytes // ceil; empty payload → 0
+        // ONE container probe per payload, reused across every emitted frame
+        // (a real codec would otherwise re-parse the whole payload per frame:
+        // O(frames × payload))
+        val fmt = if (frames == 0) "" else codec.decode(bytes)._4
         (0 until frames by every).iterator.map { f =>
           val len = math.min(frameBytes, n - f * frameBytes).toLong
-          val (_, _, _, fmt) = codec.decode(bytes) // container format probe
           (id, f.toLong, frames.toLong, len, fmt)
         }
       }

@@ -128,6 +128,36 @@ object CdcStream {
   def readMetrics(spark: SparkSession, tableRoot: String): DataFrame =
     spark.read.parquet(s"$tableRoot/metrics")
 
+  /** Bound the metrics sidecar's file count: each micro-batch appends one
+    * small file, which over a year of micro-batches is a million tiny files.
+    * Once the directory exceeds `maxFiles`, fold it into one file via
+    * temp-write + two renames (no reader window sees a partial directory;
+    * metrics are advisory lineage outside the snapshot transaction, so a
+    * crash between renames costs at most the sidecar, never table data —
+    * and the stale `.metrics-*` dir is swept on the next compaction).
+    * Called opportunistically after every metrics append; no-ops below the
+    * threshold. Returns true when a fold happened.
+    */
+  def compactMetrics(spark: SparkSession, tableRoot: String, maxFiles: Int = 32): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(s"$tableRoot/metrics")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return false
+    // sweep leftovers from a crashed previous swap
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$tableRoot/.metrics-old-*"))
+      .foreach(s => fs.delete(s.getPath, true))
+    val parts = fs.listStatus(dir).count(_.getPath.getName.startsWith("part-"))
+    if (parts <= maxFiles) return false
+    val id = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(s"$tableRoot/.metrics-tmp-$id")
+    spark.read.parquet(dir.toString).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$tableRoot/.metrics-old-$id")
+    fs.rename(dir, old)
+    fs.rename(tmp, dir)
+    fs.delete(old, true)
+    true
+  }
+
   /** Run one `Trigger.AvailableNow` pass: peek the head, drain to it in
     * micro-batches, commit, stop. Returns the number of batches applied.
     */
@@ -154,6 +184,7 @@ object CdcStream {
           batches += 1
           writeMetrics(spark, rc.tableRoot, batchId, res.stats,
             (System.nanoTime() - t0) / 1000000L, res.snapshot.version)
+          compactMetrics(spark, rc.tableRoot)
           // periodic small-file compaction (its commit is separate from the
           // batch commit and content-neutral, so replays stay idempotent)
           rc.compactEvery.foreach { k =>

@@ -91,6 +91,25 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assert(m.filter(col("vgtid_end").startsWith("MySQL56/")).count() == m.count())
   }
 
+  test("metrics sidecar: file count stays BOUNDED across 50 micro-batches " +
+    "(fold at threshold), rows survive every fold") {
+    val c = GenConfig(numEvents = 5000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
+    val base = tmpDir("metricsroll")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val batches = CdcStream.runAvailableNow(spark, CdcStream.RunConfig(c, s"$base/t",
+      s"$base/cp", maxEventsPerTrigger = Some(100L)))
+    assert(batches >= 50, s"expected ≥50 micro-batches, got $batches")
+    val dir = new org.apache.hadoop.fs.Path(s"$base/t/metrics")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(dir).count(_.getPath.getName.startsWith("part-"))
+    assert(files <= 33, s"metrics sidecar accreted $files files (unbounded growth)")
+    // no batch lost through the folds
+    val m = CdcStream.readMetrics(spark, s"$base/t")
+    assert(m.select(sum(col("rows"))).head().getLong(0) == c.numEvents)
+    assert(m.select(countDistinct(col("batch_id"))).head().getLong(0) == batches)
+  }
+
   test("starting_gtids start the tail mid-binlog; checkpoint beats starting_gtids") {
     val c = GenConfig(numEvents = 6000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
     val base = tmpDir("startgtid")
