@@ -70,11 +70,15 @@ object Bench {
     val cdcSecs = runs.map(_._2).min
     val evPerSec = events / cdcSecs
 
-    // operator suite
+    // operator suite — cache cleared between queries so one query's persist
+    // (e.g. dedup_minhash's shingled corpus) can't pressure its neighbors'
+    // timings (round-2 verdict: dedup_exact slowed from adjacent cache)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> secs
     }
     val qs = (results :+ ("cdc_replay_bench" -> cdcSecs))
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

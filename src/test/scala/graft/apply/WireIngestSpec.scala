@@ -7,6 +7,13 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Wire event rows for the streaming leg (top level for Encoder derivation). */
+case class WireRowT(repo: String, path: String, status: String, locations: String,
+    verified: String, created_at: String, balance: String, stars: String)
+case class WireEvtT(keyspace: String, shard: String, vgtid: String, event_seq: Long,
+    op: String, before: Option[WireRowT], after: Option[WireRowT],
+    is_copy_phase: Boolean, last_pk: Option[graft.core.LastPk], schema_version: Int)
+
 /** End-to-end normalization INSIDE the ingest path: raw MySQL wire strings
   * in → normalized, typed lake rows out — the reference's `parseValue`-on-
   * every-synced-row behavior (`types.go:139-220`), proven with the vectors
@@ -83,6 +90,47 @@ class WireIngestSpec extends AnyFunSuite with SparkSupport {
     // reference quirks preserved: no parens → one empty label
     assert(parseEnumOrSetValues("varchar(0)") == Seq("0"))
     assert(parseEnumOrSetValues("text") == Seq(""))
+  }
+
+  test("STREAMING wire ingest: micro-batched raw strings normalize inside " +
+    "foreachBatch apply; LWW + delete semantics hold across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def evt(seq: Long, op: String, path: String, status: String, balance: String): WireEvtT = {
+      val row = WireRowT("r1", path, status, "3", "1", "2021-03-04 05:06:07", balance, "5")
+      WireEvtT("ks", "-", s"MySQL56/aaaaaaaa-0000-0000-0000-000000000001:1-$seq", seq, op,
+        if (op == "insert") None else Some(row.copy(status = null, locations = null,
+          verified = null, created_at = null, balance = null, stars = null)),
+        if (op == "delete") None else Some(row), is_copy_phase = false, None, 1)
+    }
+    val table = new LakeTable(tmpDir("wirestream") + "/t", spark)
+    table.create(ws.landingSchema, numBuckets = 2)
+    val cp = tmpDir("wirestream-cp")
+    val stream = MemoryStream[WireEvtT]
+    def drain(): Unit = {
+      val q = stream.toDF().writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          CdcApply.applyBatch(table, batch, batchId,
+            conf = CdcApply.ApplyConfig(wireSpec = Some(ws)))
+          ()
+        }.start()
+      q.awaitTermination(); q.stop()
+    }
+    stream.addData(evt(1, "insert", "p1", "1", ".33"), evt(2, "insert", "p2", "2", "-.77"))
+    drain()
+    stream.addData(evt(3, "update", "p1", "2", "12.5"), evt(4, "delete", "p2", null, null))
+    drain()
+    val got = table.read()
+      .select(col("path"), col("status"), (col("balance") * 100).cast("long").as("cents"))
+      .orderBy("path").collect()
+    // p1 updated (LWW winner seq 3, enum 2 → inactive), p2 deleted
+    assert(got.toSeq == Seq(Row("p1", "inactive", 1250L)))
+    // cursors advanced to the head of the second batch
+    val st = graft.core.SyncState.fromJson(table.summaryValue("cursors").get)
+    assert(st.cursorFor("ks:repo_content", "-").get.position.endsWith(":1-4"))
   }
 
   test("malformed wire values land NULL in typed columns, never fail the job (ANSI-safe)") {
