@@ -46,14 +46,26 @@ object CdcApply {
     * `parseValue` normalization (`types.go:139-220`) and cast to its typed
     * landing column INSIDE the staging job — normalization is part of the
     * ingest plan (one pass, codegen'd column expressions), not a separate
-    * post-pass over the table.
+    * post-pass over the table. `keyColumns` names the merge key in the event
+    * payload — in the same order as the table's leading field ids 1..k — so
+    * ANY table with a composite PK ingests, not just repo_content; the
+    * first key column drives bucketing.
     */
   final case class ApplyConfig(parityMode: Boolean = false,
       saltBuckets: Option[Int] = None,
-      wireSpec: Option[graft.core.WireTableSpec] = None)
+      wireSpec: Option[graft.core.WireTableSpec] = None,
+      keyColumns: Seq[String] = Seq("repo", "path"))
 
-  /** LWW dedup: keep the newest event per (repo, path) by
-    * (vgtid rank, event_seq) — the north-star's "(vgtid, event_seq) window".
+  /** Canonical merge-key columns `_<name>` from the event's after/before
+    * images (delete events carry the key only in `before`).
+    */
+  private def withKeyCols(events: DataFrame, keys: Seq[String]): DataFrame =
+    keys.foldLeft(events)((df, k) =>
+      df.withColumn(s"_$k", coalesce(col(s"after.$k"), col(s"before.$k"))))
+
+  /** LWW dedup: keep the newest event per merge key (default `(repo, path)`;
+    * any composite key via `keys`) by (vgtid rank, event_seq) — the
+    * north-star's "(vgtid, event_seq) window".
     * Input must carry `vgtid`, `event_seq`, `op`, `before`, `after`.
     *
     * Implementation: winner keys via `max(struct(rank, seq))` — a hash
@@ -65,11 +77,10 @@ object CdcApply {
     * repos (Zipf skew) are absorbed by the map-side combine, the classic
     * skew cure the window version lacks.
     */
-  def dedupLww(events: DataFrame): DataFrame = {
-    val keyed = events
-      .withColumn("_repo", coalesce(col("after.repo"), col("before.repo")))
-      .withColumn("_path", coalesce(col("after.path"), col("before.path")))
-      .withColumn("_rank", vgtid_rank(col("vgtid")))
+  def dedupLww(events: DataFrame,
+      keys: Seq[String] = Seq("repo", "path")): DataFrame = {
+    val keyed = withKeyCols(events, keys).withColumn("_rank", vgtid_rank(col("vgtid")))
+    val keyCols = keys.map(k => col(s"_$k"))
     val payload = events.columns.map(col) :+ col("_rank")
     // LwwMaxBy (TypedImperativeAggregate) instead of max_by(struct, struct):
     // ObjectHashAggregate-eligible → hash probes, no per-partition sort.
@@ -77,11 +88,11 @@ object CdcApply {
     // processed-row counts can be recovered from the winners without
     // re-scanning the source (sum of per-key counts = batch rows).
     keyed
-      .groupBy(col("_repo"), col("_path"))
+      .groupBy(keyCols: _*)
       .agg(graft.functions.LwwMaxBy.lww_max_by(
         struct(payload: _*), col("_rank"), col("event_seq")).as("_win"),
         count(lit(1)).as("_key_events"))
-      .select(col("_repo"), col("_path"), col("_win.*"), col("_key_events"))
+      .select(keyCols ++ Seq(col("_win.*"), col("_key_events")): _*)
   }
 
   /** Explicitly SALTED LWW dedup (north-star "salting merge keys"): a
@@ -94,32 +105,29 @@ object CdcApply {
     * Costs one extra (tiny: winners-only) shuffle — enable via
     * `ApplyConfig.saltBuckets` only when key-flood skew is expected.
     */
-  def dedupLwwSalted(events: DataFrame, salts: Int): DataFrame = {
-    val keyed = events
-      .withColumn("_repo", coalesce(col("after.repo"), col("before.repo")))
-      .withColumn("_path", coalesce(col("after.path"), col("before.path")))
-      .withColumn("_rank", vgtid_rank(col("vgtid")))
+  def dedupLwwSalted(events: DataFrame, salts: Int,
+      keys: Seq[String] = Seq("repo", "path")): DataFrame = {
+    val keyed = withKeyCols(events, keys).withColumn("_rank", vgtid_rank(col("vgtid")))
+    val keyCols = keys.map(k => col(s"_$k"))
     val payload = events.columns.map(col) :+ col("_rank")
     val partial = keyed
-      .groupBy(col("_repo"), col("_path"), pmod(col("event_seq"), lit(salts)).as("_salt"))
+      .groupBy(keyCols :+ pmod(col("event_seq"), lit(salts)).as("_salt"): _*)
       .agg(graft.functions.LwwMaxBy.lww_max_by(
         struct(payload: _*), col("_rank"), col("event_seq")).as("_win"),
         count(lit(1)).as("_sub_events"))
     partial
-      .groupBy(col("_repo"), col("_path"))
+      .groupBy(keyCols: _*)
       .agg(graft.functions.LwwMaxBy.lww_max_by(
         col("_win"), col("_win._rank"), col("_win.event_seq")).as("_win"),
         sum(col("_sub_events")).as("_key_events"))
-      .select(col("_repo"), col("_path"), col("_win.*"), col("_key_events"))
+      .select(keyCols ++ Seq(col("_win.*"), col("_key_events")): _*)
   }
 
   /** Window-formulated LWW (reference semantics oracle for tests). */
-  def dedupLwwWindow(events: DataFrame): DataFrame = {
-    val keyed = events
-      .withColumn("_repo", coalesce(col("after.repo"), col("before.repo")))
-      .withColumn("_path", coalesce(col("after.path"), col("before.path")))
-      .withColumn("_rank", vgtid_rank(col("vgtid")))
-    val w = Window.partitionBy("_repo", "_path")
+  def dedupLwwWindow(events: DataFrame,
+      keys: Seq[String] = Seq("repo", "path")): DataFrame = {
+    val keyed = withKeyCols(events, keys).withColumn("_rank", vgtid_rank(col("vgtid")))
+    val w = Window.partitionBy(keys.map(k => col(s"_$k")): _*)
       .orderBy(col("_rank").desc, col("event_seq").desc)
     keyed.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
@@ -222,10 +230,11 @@ object CdcApply {
     if (already) return ApplyResult(snap, 0L, 0L, skipped = true)
 
     val prevState = snap.summary.get("cursors").map(SyncState.fromJson).getOrElse(SyncState.empty)
+    val keys = conf.keyColumns
     val filtered = if (conf.parityMode) events.filter(col("op") =!= "delete") else events
     val deduped = conf.saltBuckets match {
-      case Some(salts) => dedupLwwSalted(filtered, salts)
-      case None        => dedupLww(filtered)
+      case Some(salts) => dedupLwwSalted(filtered, salts, keys)
+      case None        => dedupLww(filtered, keys)
     }
     val spark = events.sparkSession
 
@@ -236,14 +245,13 @@ object CdcApply {
     // Avro-driven renames the current snapshot may use different names —
     // map by Iceberg-style field id (rename = metadata only), columns added
     // since v0 fill null.
-    val bucket = pmod(xxhash64(col("_repo")), lit(snap.numBuckets)).cast("int")
+    val bucket = pmod(xxhash64(col(s"_${keys.head}")), lit(snap.numBuckets)).cast("int")
     val origById = snap.schemas(0).map(f => f.id -> f.name).toMap
     def nullAs(ddl: String, name: String) =
       lit(null).cast(org.apache.spark.sql.types.DataType.fromDDL(ddl)).as(name)
     val dataCols = snap.currentSchema.map { f =>
       origById.get(f.id) match {
-        case Some("repo") => col("_repo").as(f.name)
-        case Some("path") => col("_path").as(f.name)
+        case Some(orig) if keys.contains(orig) => col(s"_$orig").as(f.name)
         // provenance metadata (reference's _planetscale_metadata analogue):
         // position/sequence of the winning event + extraction timestamp
         case Some("_graft_vgtid")        => col("vgtid").as(f.name)
@@ -291,19 +299,18 @@ object CdcApply {
 
       // --- prune overwritten/deleted keys out of existing files (only the
       // affected buckets; anti-join against the column-pruned staged keys) ---
-      // merge key = fields id 1 & 2 (current names survive renames)
-      val keyRepo = snap.currentSchema.find(_.id == 1).get.name
-      val keyPath = snap.currentSchema.find(_.id == 2).get.name
+      // merge key = fields id 1..k (current names survive renames)
+      val keyNames = (1 to keys.length).map(id =>
+        snap.currentSchema.find(_.id == id).get.name)
       val oldFiles = table.filesInBuckets(snap, affected)
       val survivorFiles =
         if (oldFiles.isEmpty) Nil
         else {
           val old = table.readFiles(snap, oldFiles)
           val survivors = old
-            .join(table.stagedKeys(spark, stage, Seq(keyRepo, keyPath)),
-              Seq(keyRepo, keyPath), "left_anti")
+            .join(table.stagedKeys(spark, stage, keyNames), keyNames, "left_anti")
             .withColumn("_bucket",
-              pmod(xxhash64(col(keyRepo)), lit(snap.numBuckets)).cast("int"))
+              pmod(xxhash64(col(keyNames.head)), lit(snap.numBuckets)).cast("int"))
           // hash-repartition on _bucket alone: file count per commit is
           // O(buckets), independent of parallelism
           table.writeDataFiles(survivors.repartition(col("_bucket")), snap.schemaVersion)

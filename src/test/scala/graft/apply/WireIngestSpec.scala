@@ -133,6 +133,56 @@ class WireIngestSpec extends AnyFunSuite with SparkSupport {
     assert(st.cursorFor("ks:repo_content", "-").get.position.endsWith(":1-4"))
   }
 
+  test("GENERIC merge keys: a table keyed (org, dataset) ingests through the same " +
+    "apply path — dedup, bucketing, delete and anti-join all follow keyColumns") {
+    import spark.implicits._
+    val ws2 = WireTableSpec(Seq(
+      WireColumn("org", "varchar(64)", "NO"),
+      WireColumn("dataset", "varchar(64)", "NO"),
+      WireColumn("rows_count", "bigint"),
+      WireColumn("grade", "enum('bronze','silver','gold')")))
+    val table = new LakeTable(tmpDir("generic") + "/t", spark)
+    table.create(ws2.landingSchema, numBuckets = 2)
+    def ev(seq: Long, op: String, org: String, ds: String, n: String, g: String) =
+      (("ks"), ("-"), (s"MySQL56/aaaaaaaa-0000-0000-0000-000000000002:1-$seq"), seq, op,
+        org, ds, n, g)
+    val events = Seq(
+      ev(1, "insert", "o1", "d1", "10", "1"),
+      ev(2, "insert", "o1", "d2", "20", "2"),
+      ev(3, "update", "o1", "d1", "30", "3"),
+      ev(4, "insert", "o2", "d1", "40", "9"), // out-of-range enum → original
+      ev(5, "delete", "o1", "d2", null, null))
+      .toDF("keyspace", "shard", "vgtid", "event_seq", "op", "org", "dataset", "n", "g")
+      .select(col("keyspace"), col("shard"), col("vgtid"), col("event_seq"), col("op"),
+        when(col("op") === "delete",
+          struct(col("org"), col("dataset"), lit(null).cast("string").as("rows_count"),
+            lit(null).cast("string").as("grade"))).as("before"),
+        when(col("op") =!= "delete",
+          struct(col("org"), col("dataset"), col("n").as("rows_count"),
+            col("g").as("grade"))).as("after"),
+        lit(false).as("is_copy_phase"),
+        lit(null).cast("struct<repo:string,path:string>").as("last_pk"),
+        lit(1).as("schema_version"))
+    CdcApply.replayAll(table, events,
+      CdcApply.ApplyConfig(wireSpec = Some(ws2), keyColumns = Seq("org", "dataset")))
+    val got = table.read().orderBy("org", "dataset")
+      .select("org", "dataset", "rows_count", "grade").collect()
+    assert(got.toSeq == Seq(
+      Row("o1", "d1", 30L, "gold"),   // LWW winner seq 3
+      Row("o2", "d1", 40L, "9")))     // enum out-of-range keeps original; d2 deleted
+    // second batch: overwrite o2/d1 — the bucket anti-join must key on (org, dataset)
+    val upd = events.filter(col("event_seq") === 4)
+      .withColumn("vgtid", lit("MySQL56/aaaaaaaa-0000-0000-0000-000000000002:1-6"))
+      .withColumn("event_seq", lit(6L))
+      .withColumn("after", struct(col("after.org"), col("after.dataset"),
+        lit("99").as("rows_count"), lit("2").as("grade")))
+    CdcApply.applyBatch(table, upd, batchId = 1L,
+      conf = CdcApply.ApplyConfig(wireSpec = Some(ws2), keyColumns = Seq("org", "dataset")))
+    val after = table.read().filter(col("org") === "o2").collect()
+    assert(after.length == 1 && after(0).getAs[Long]("rows_count") == 99L
+      && after(0).getAs[String]("grade") == "silver")
+  }
+
   test("malformed wire values land NULL in typed columns, never fail the job (ANSI-safe)") {
     val table = ingest(Seq(
       ("r1", "p1", "1", "1", "not-a-number", "not-a-date", "abc", "xyz")))
