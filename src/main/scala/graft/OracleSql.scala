@@ -131,6 +131,37 @@ object OracleSql {
         SELECT a.doc_id AS a_id, ${jaccSql("a.sh", "b.sh")} AS jacc_pm
         FROM sa a JOIN sb b USING (doc_id)"""
 
+  /** text_quality mirror (integer per-milles, stopword hit counting,
+    * composite score) — reused verbatim by the composed pipeline oracle.
+    */
+  private val qualityOracle: String =
+    """SELECT doc_id, alpha_pm, space_pm, punct_pm,
+         CASE WHEN tokens = 0 THEN 0 ELSE (stop_hits*1000) // tokens END AS stop_pm,
+         ((alpha_pm*4 + tok_ok*3 + space_ok*3) // 10) AS quality FROM (
+           SELECT doc_id, alpha_pm, space_pm, punct_pm, tokens,
+             (length(p)-length(replace(p,' the ','')))//5
+             + (length(p)-length(replace(p,' and ','')))//5
+             + (length(p)-length(replace(p,' of ','')))//4
+             + (length(p)-length(replace(p,' is ','')))//4
+             + (length(p)-length(replace(p,' to ','')))//4
+             + (length(p)-length(replace(p,' a ','')))//3
+             + (length(p)-length(replace(p,' in ','')))//4
+             + (length(p)-length(replace(p,' that ','')))//6 AS stop_hits,
+             CASE WHEN tokens > 0 AND ((nonspace*1000) // tokens) BETWEEN 3000 AND 12000
+                  THEN 1000 ELSE 0 END AS tok_ok,
+             CASE WHEN space_pm BETWEEN 50 AND 400 THEN 1000 ELSE 0 END AS space_ok
+           FROM (SELECT doc_id, ' ' || text || ' ' AS p,
+             CASE WHEN length(text)=0 THEN 0
+                  ELSE (length(regexp_replace(text,'[^A-Za-z]','','g'))*1000) // length(text) END AS alpha_pm,
+             CASE WHEN length(text)=0 THEN 0
+                  ELSE (length(regexp_replace(text,'[^ ]','','g'))*1000) // length(text) END AS space_pm,
+             CASE WHEN length(text)=0 THEN 0
+                  ELSE (length(regexp_replace(text,'[^.,!?;:]','','g'))*1000) // length(text) END AS punct_pm,
+             length(regexp_replace(text,'\s+','','g')) AS nonspace,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS tokens
+           FROM documents))"""
+
   val sql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -424,40 +455,29 @@ object OracleSql {
          length(text) AS chars
          FROM documents""",
 
-    "text_quality" ->
-      """SELECT doc_id, alpha_pm, space_pm, punct_pm,
-         CASE WHEN tokens = 0 THEN 0 ELSE (stop_hits*1000) // tokens END AS stop_pm,
-         ((alpha_pm*4 + tok_ok*3 + space_ok*3) // 10) AS quality FROM (
-           SELECT doc_id, alpha_pm, space_pm, punct_pm, tokens,
-             (length(p)-length(replace(p,' the ','')))//5
-             + (length(p)-length(replace(p,' and ','')))//5
-             + (length(p)-length(replace(p,' of ','')))//4
-             + (length(p)-length(replace(p,' is ','')))//4
-             + (length(p)-length(replace(p,' to ','')))//4
-             + (length(p)-length(replace(p,' a ','')))//3
-             + (length(p)-length(replace(p,' in ','')))//4
-             + (length(p)-length(replace(p,' that ','')))//6 AS stop_hits,
-             CASE WHEN tokens > 0 AND ((nonspace*1000) // tokens) BETWEEN 3000 AND 12000
-                  THEN 1000 ELSE 0 END AS tok_ok,
-             CASE WHEN space_pm BETWEEN 50 AND 400 THEN 1000 ELSE 0 END AS space_ok
-           FROM (SELECT doc_id, ' ' || text || ' ' AS p,
-             CASE WHEN length(text)=0 THEN 0
-                  ELSE (length(regexp_replace(text,'[^A-Za-z]','','g'))*1000) // length(text) END AS alpha_pm,
-             CASE WHEN length(text)=0 THEN 0
-                  ELSE (length(regexp_replace(text,'[^ ]','','g'))*1000) // length(text) END AS space_pm,
-             CASE WHEN length(text)=0 THEN 0
-                  ELSE (length(regexp_replace(text,'[^.,!?;:]','','g'))*1000) // length(text) END AS punct_pm,
-             length(regexp_replace(text,'\s+','','g')) AS nonspace,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS tokens
-           FROM documents))""",
+    "text_quality" -> qualityOracle,
 
     "text_langid" -> langCase,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
-    "sim_knn_lsh" -> lshOracle,
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
+    "sim_knn_lsh" -> lshOracle,
+
+    // composed training-set pipeline: langid gate + quality gate + exact-
+    // dedup canonical (min doc_id per md5) + token count — each leg reuses
+    // the SAME mirror the standalone oracle uses
+    "pipeline_training_set" ->
+      s"""WITH l AS ($langCase),
+          q AS ($qualityOracle),
+          tk AS (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '${"\\"}s+')) END AS tokens
+                 FROM documents),
+          c AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         SELECT l.doc_id, l.predicted, q.quality, tk.tokens
+         FROM l JOIN q USING (doc_id) JOIN tk USING (doc_id) JOIN c USING (doc_id)
+         WHERE l.predicted = 'en' AND q.quality >= 500""",
 
     "text_fingerprint" ->
       """SELECT doc_id, true AS fp_in_range, true AS fp_window_monotone

@@ -711,6 +711,29 @@ object SparkEntry {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
       frameBytes = 64, every = 4)
 
+  /** The composed TRAINING-SET SELECTION pipeline — what the text-analysis
+    * ops exist for at 100 TB: language-ID gate → quality-score gate →
+    * exact-dedup canonicalization (keep the lowest doc_id per content hash)
+    * → token accounting for the surviving set. One declarative plan: the
+    * gates are codegen'd column expressions fused into the scan, the dedup
+    * is one hash shuffle carrying (hash, id), and the final join is
+    * id-to-id — no stage reads `text` twice.
+    */
+  private def pipelineTrainingSet(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val canonical = docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        T.langId(col("text")).as("predicted"),
+        T.qualityScore(col("text")).as("quality"),
+        T.tokenCount(col("text")).as("tokens"))
+      .filter(col("predicted") === "en" && col("quality") >= 500)
+      .join(canonical, Seq("doc_id"), "left_semi")
+  }
+
   /** The engine itself as a query: replay a 2-shard changelog through the
     * lake table and emit the final state digests (rows-only check; full
     * parity is asserted in ScalaTest + DriveReplay).
@@ -767,6 +790,7 @@ object SparkEntry {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "pipeline_training_set" -> pipelineTrainingSet,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
