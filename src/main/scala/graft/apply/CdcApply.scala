@@ -56,12 +56,24 @@ object CdcApply {
       wireSpec: Option[graft.core.WireTableSpec] = None,
       keyColumns: Seq[String] = Seq("repo", "path"))
 
+  /** Key names whose canonical `_<name>` column would collide with the
+    * dedup/staging internals (`_rank`, `_salt`, `_win`, …) — a collision
+    * would silently corrupt the LWW grouping, so fail loud instead.
+    */
+  private val ReservedKeyNames =
+    Set("rank", "salt", "win", "key_events", "sub_events", "rn", "kind", "bucket")
+
   /** Canonical merge-key columns `_<name>` from the event's after/before
     * images (delete events carry the key only in `before`).
     */
-  private def withKeyCols(events: DataFrame, keys: Seq[String]): DataFrame =
+  private def withKeyCols(events: DataFrame, keys: Seq[String]): DataFrame = {
+    val bad = keys.filter(ReservedKeyNames.contains)
+    require(bad.isEmpty,
+      s"key column name(s) ${bad.mkString(", ")} collide with dedup internals " +
+        s"(reserved: ${ReservedKeyNames.toSeq.sorted.mkString(", ")})")
     keys.foldLeft(events)((df, k) =>
       df.withColumn(s"_$k", coalesce(col(s"after.$k"), col(s"before.$k"))))
+  }
 
   /** LWW dedup: keep the newest event per merge key (default `(repo, path)`;
     * any composite key via `keys`) by (vgtid rank, event_seq) — the
@@ -245,13 +257,22 @@ object CdcApply {
     // Avro-driven renames the current snapshot may use different names —
     // map by Iceberg-style field id (rename = metadata only), columns added
     // since v0 fill null.
-    val bucket = pmod(xxhash64(col(s"_${keys.head}")), lit(snap.numBuckets)).cast("int")
+    // a wire-typed key lands TYPED (e.g. a numeric PK): normalize+cast the
+    // canonical key column once, and bucket on the LANDED value — the
+    // survivor rewrite recomputes buckets from the (typed) read path, so
+    // staging must hash the same typed value or rewritten rows would
+    // migrate buckets and escape later anti-joins
+    def landedKey(k: String): Column = conf.wireSpec match {
+      case Some(ws) => ws.normalizedLanding(k, col(s"_$k"))
+      case None     => col(s"_$k")
+    }
+    val bucket = pmod(xxhash64(landedKey(keys.head)), lit(snap.numBuckets)).cast("int")
     val origById = snap.schemas(0).map(f => f.id -> f.name).toMap
     def nullAs(ddl: String, name: String) =
       lit(null).cast(org.apache.spark.sql.types.DataType.fromDDL(ddl)).as(name)
     val dataCols = snap.currentSchema.map { f =>
       origById.get(f.id) match {
-        case Some(orig) if keys.contains(orig) => col(s"_$orig").as(f.name)
+        case Some(orig) if keys.contains(orig) => landedKey(orig).as(f.name)
         // provenance metadata (reference's _planetscale_metadata analogue):
         // position/sequence of the winning event + extraction timestamp
         case Some("_graft_vgtid")        => col("vgtid").as(f.name)

@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,6 +19,11 @@ final case class WireColumn(name: String, mysqlType: String, nullable: String = 
   * the ingest path: `CdcApply.applyBatch` runs `normalizedLanding` on every
   * after-image column before staging, the analogue of the reference calling
   * `parseValue` on every synced row (`types.go:139-164`).
+  *
+  * Key columns: LWW dedup groups on the WIRE form of the key (MySQL sends
+  * canonical digit strings, so equal keys have equal wire forms); bucketing
+  * and landing use the TYPED form, consistently on both the staging and the
+  * survivor-rewrite sides.
   */
 final case class WireTableSpec(
     columns: Seq[WireColumn],
@@ -44,32 +50,38 @@ final case class WireTableSpec(
     case None => c
   }
 
+  /** TRY-mode Catalyst cast: null on malformed AND on out-of-range values
+    * (a regex guard alone still throws under ANSI on an in-format overflow,
+    * e.g. an unsigned-bigint max into LongType).
+    */
+  private def tryCast(c: Column, to: DataType): Column =
+    GraftBridge.column(Cast(GraftBridge.expression(c), to, None, EvalMode.TRY))
+
   /** Normalize + cast one wire-string column to its typed landing column.
-    * Casts are NULL-safe under ANSI mode (a malformed value lands null, it
-    * never fails a 100-TB job): numeric/decimal casts are regex-guarded,
-    * temporal casts go through `try_to_timestamp` on the exact post-
-    * normalization layout.
+    * NULL-safe under ANSI mode by contract — a malformed OR unrepresentable
+    * value lands null, it never fails a 100-TB job: scalars go through a
+    * TRY-mode Catalyst cast, temporal columns through `try_to_timestamp`
+    * with an optional-fraction section (datetime(1..6) variants parse).
+    * BooleanType landings (any `tinyint(1)` variant per discovery's PREFIX
+    * rule) convert from the raw wire digit here — `parseValue` itself keeps
+    * the reference's exact-equality quirk, which would otherwise land a raw
+    * string in a boolean column for `tinyint(1) unsigned`.
     */
   def normalizedLanding(name: String, c: Column): Column = {
-    val n = normalize(name, c)
     val target = byName.get(name)
       .map(wc => TypeMap.sparkType(wc.mysqlType, treatTinyIntAsBoolean))
       .getOrElse(StringType)
     target match {
-      case StringType  => n
-      case BooleanType => n // tinyint(1): parseValue already yielded boolean
-      case LongType    => when(n.rlike("^-?[0-9]+$"), n.cast(LongType))
-      case _: DecimalType =>
-        when(n.rlike("^-?[0-9]+(\\.[0-9]+)?$"), n.cast(target))
-      case DoubleType =>
-        when(n.rlike("^-?[0-9]*\\.?[0-9]+([eE][+-]?[0-9]+)?$"), n.cast(DoubleType))
+      case BooleanType => graft.functions.Normalize.tinyintBoolWire(c)
+      case StringType  => normalize(name, c)
       case TimestampNTZType => // normalized ISO, no offset (formatISO8601)
-        try_to_timestamp(n, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).cast(TimestampNTZType)
+        try_to_timestamp(normalize(name, c),
+          lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")).cast(TimestampNTZType)
       case TimestampType => // TIMESTAMP passes through raw (wire layout)
-        try_to_timestamp(n, lit("yyyy-MM-dd HH:mm:ss"))
-      case DateType => try_to_timestamp(n, lit("yyyy-MM-dd")).cast(DateType)
-      case BinaryType => n.cast(BinaryType)
-      case _ => n.cast(target)
+        try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss[.SSSSSS]"))
+      case DateType =>
+        try_to_timestamp(normalize(name, c), lit("yyyy-MM-dd")).cast(DateType)
+      case other => tryCast(normalize(name, c), other)
     }
   }
 }

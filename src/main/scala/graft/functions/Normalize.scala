@@ -62,7 +62,10 @@ object Normalize {
   def isoDatetime(c: Column): Column =
     when(c.startsWith("0000-00-00"), lit("1970-01-01T00:00:00.000000"))
       .otherwise(coalesce(
-        date_format(try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+        // optional-fraction section: datetime(1..6) wire values parse too
+        // (Go's time.Parse accepts fractional seconds even when the layout
+        // lacks them, and the reference's output layout prints 6 digits)
+        date_format(try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss[.SSSSSS]")),
           "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), c))
 
   /** DATE string → yyyy-MM-dd; zero-date → epoch date; fallback original. */
@@ -78,7 +81,7 @@ object Normalize {
   def isoTimestampTz(c: Column): Column =
     when(c.startsWith("0000-00-00"), lit("1970-01-01T00:00:00.000000+00:00"))
       .otherwise(coalesce(
-        date_format(try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+        date_format(try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss[.SSSSSS]")),
           "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"), c))
 
   /** TIME values take the reference's DEFAULT branch (`Type_TIME` is in the

@@ -139,21 +139,38 @@ object CdcStream {
     * threshold. Returns true when a fold happened.
     */
   def compactMetrics(spark: SparkSession, tableRoot: String, maxFiles: Int = 32): Boolean = {
-    val dir = new org.apache.hadoop.fs.Path(s"$tableRoot/metrics")
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$tableRoot/metrics")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return false
-    // sweep leftovers from a crashed previous swap
-    fs.globStatus(new org.apache.hadoop.fs.Path(s"$tableRoot/.metrics-old-*"))
+    // crash recovery FIRST, in dependency order:
+    //  - dir missing but a .metrics-old-* swap source exists → the crash hit
+    //    between the two renames; restore the ORIGINAL (the compaction is
+    //    simply lost, never the data);
+    //  - dir present → any .metrics-old-* is a superseded original from a
+    //    crash after the second rename: safe to drop;
+    //  - .metrics-tmp-* is never the only copy (tmp is promoted only after
+    //    the original was moved aside, and that state restores above), so
+    //    tmp leftovers are always safe to sweep.
+    val olds = fs.globStatus(new Path(s"$tableRoot/.metrics-old-*")).toSeq.map(_.getPath)
+    if (!fs.exists(dir)) {
+      olds.headOption match {
+        case Some(o) =>
+          require(fs.rename(o, dir), s"metrics recovery rename failed: $o -> $dir")
+          olds.tail.foreach(p => fs.delete(p, true))
+        case None => return false // no metrics yet
+      }
+    } else olds.foreach(p => fs.delete(p, true))
+    fs.globStatus(new Path(s"$tableRoot/.metrics-tmp-*"))
       .foreach(s => fs.delete(s.getPath, true))
     val parts = fs.listStatus(dir).count(_.getPath.getName.startsWith("part-"))
     if (parts <= maxFiles) return false
     val id = java.util.UUID.randomUUID().toString
-    val tmp = new org.apache.hadoop.fs.Path(s"$tableRoot/.metrics-tmp-$id")
+    val tmp = new Path(s"$tableRoot/.metrics-tmp-$id")
     spark.read.parquet(dir.toString).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(s"$tableRoot/.metrics-old-$id")
-    fs.rename(dir, old)
-    fs.rename(tmp, dir)
+    val old = new Path(s"$tableRoot/.metrics-old-$id")
+    require(fs.rename(dir, old), s"metrics swap rename failed: $dir -> $old")
+    require(fs.rename(tmp, dir), s"metrics swap rename failed: $tmp -> $dir")
     fs.delete(old, true)
     true
   }
@@ -229,12 +246,16 @@ object CdcStream {
       maxConcurrentStreams: Int = 4): Map[String, Long] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.Try
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(maxConcurrentStreams, catalog.streams.size)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
+      // each stream's outcome is captured as a Try so ALL in-flight streams
+      // finish before the first failure is rethrown — a caller's cleanup
+      // never races sibling queries still writing checkpoints/snapshots
       val futures = catalog.streams.map { s =>
-        Future {
+        Future { Try {
           val rc0 = rcFor(s)
           // supplied state resumes ONLY incremental streams (read.go:169-180)
           val resume =
@@ -257,9 +278,10 @@ object CdcStream {
               else graft.core.ChangeEvent.rowSchema,
               rc.numBuckets)
           s.name -> runAvailableNow(spark, rc)
-        }
+        } }
       }
-      Await.result(Future.sequence(futures), Duration.Inf).toMap
+      val results = Await.result(Future.sequence(futures), Duration.Inf)
+      results.map(_.get).toMap // rethrows the first failure AFTER all settled
     } finally pool.shutdown()
   }
 }

@@ -189,4 +189,63 @@ class WireIngestSpec extends AnyFunSuite with SparkSupport {
     val r = table.read().select("verified", "created_at", "balance", "stars").head()
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
+
+  test("NUMERIC wire keys: staged and rewrite buckets hash the same typed value " +
+    "(a second-batch update must replace, never duplicate), and tinyint(1) " +
+    "unsigned / datetime(6) / out-of-range bigint land per contract") {
+    import spark.implicits._
+    val ws3 = WireTableSpec(Seq(
+      WireColumn("actor_id", "smallint(5) unsigned", "NO"),
+      WireColumn("film_id", "int(11)", "NO"),
+      WireColumn("flag", "tinyint(1) unsigned"),
+      WireColumn("seen_at", "datetime(6)"),
+      WireColumn("views", "bigint")))
+    val table = new LakeTable(tmpDir("numkey") + "/t", spark)
+    table.create(ws3.landingSchema, numBuckets = 8)
+    def batch(rows: Seq[(Long, String, String, String, String, String)]) =
+      rows.toDF("seq", "actor_id", "film_id", "flag", "seen_at", "views")
+        .select(lit("ks").as("keyspace"), lit("-").as("shard"),
+          concat(lit("MySQL56/aaaaaaaa-0000-0000-0000-000000000003:1-"), col("seq")).as("vgtid"),
+          col("seq").as("event_seq"), lit("update").as("op"),
+          lit(null).cast(ws3.wireRowSchema).as("before"),
+          struct(col("actor_id"), col("film_id"), col("flag"), col("seen_at"),
+            col("views")).as("after"),
+          lit(false).as("is_copy_phase"),
+          lit(null).cast("struct<repo:string,path:string>").as("last_pk"),
+          lit(1).as("schema_version"))
+    val conf = CdcApply.ApplyConfig(wireSpec = Some(ws3),
+      keyColumns = Seq("actor_id", "film_id"))
+    CdcApply.applyBatch(table, batch(Seq(
+      (1L, "42", "7", "2", "2021-03-04 05:06:07.123456", "10"),
+      (2L, "43", "7", "0", "2021-03-04 05:06:07", "18446744073709551615"))), 0L, conf = conf)
+    // typed keys landed as BIGINT; fractional datetime kept to the micro;
+    // tinyint(1) unsigned "2" → true (discovery's PREFIX rule, landing-layer
+    // conversion); unsigned-bigint overflow → NULL (TRY cast), job alive
+    val r1 = table.read().orderBy("actor_id").collect()
+    assert(table.read().schema("actor_id").dataType.sql == "BIGINT")
+    assert(r1.map(r => (r.getAs[Long]("actor_id"), r.getAs[Boolean]("flag"))).toSeq ==
+      Seq((42L, true), (43L, false)))
+    assert(r1(0).getAs[java.time.LocalDateTime]("seen_at").getNano == 123456000)
+    assert(r1(1).isNullAt(r1(1).fieldIndex("views")))
+    // batch 2: update key (42, 7) — the rewrite's anti-join must find the
+    // original row in the SAME bucket the typed read-path hash gives
+    CdcApply.applyBatch(table, batch(Seq(
+      (3L, "42", "7", "1", "2022-01-01 00:00:00", "99"))), 1L, conf = conf)
+    val r2 = table.read().filter(col("actor_id") === 42L).collect()
+    assert(r2.length == 1, s"duplicate key after update: ${r2.mkString(";")}")
+    assert(r2(0).getAs[Long]("views") == 99L)
+  }
+
+  test("reserved key names that would collide with dedup internals fail loud") {
+    import spark.implicits._
+    val ev = Seq(1).toDF("x").select(lit("ks").as("keyspace"), lit("-").as("shard"),
+      lit("MySQL56/aaaaaaaa-0000-0000-0000-000000000004:1-1").as("vgtid"),
+      lit(1L).as("event_seq"), lit("insert").as("op"),
+      lit(null).cast("struct<org:string,rank:string>").as("before"),
+      struct(lit("o").as("org"), lit("r").as("rank")).as("after"))
+    val e = intercept[IllegalArgumentException] {
+      CdcApply.dedupLww(ev, keys = Seq("org", "rank")).collect()
+    }
+    assert(e.getMessage.contains("rank"))
+  }
 }

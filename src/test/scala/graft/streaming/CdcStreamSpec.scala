@@ -110,6 +110,29 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assert(m.select(countDistinct(col("batch_id"))).head().getLong(0) == batches)
   }
 
+  test("compactMetrics crash recovery: an interrupted swap restores the ORIGINAL " +
+    "sidecar (never deletes the only copy) and sweeps tmp leftovers") {
+    val c = GenConfig(numEvents = 2000L, numShards = 2, numRepos = 10, pathsPerRepo = 5)
+    val base = tmpDir("metricscrash")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    CdcStream.runAvailableNow(spark, CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
+      maxEventsPerTrigger = Some(500L)))
+    val rows = CdcStream.readMetrics(spark, s"$base/t").count()
+    // simulate a crash between the two swap renames: metrics moved aside,
+    // a compacted tmp copy left behind
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/t/metrics"),
+      new org.apache.hadoop.fs.Path(s"$base/t/.metrics-old-crash"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/t/.metrics-tmp-crash"))
+    CdcStream.compactMetrics(spark, s"$base/t")
+    assert(CdcStream.readMetrics(spark, s"$base/t").count() == rows,
+      "recovery must restore the full original sidecar")
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/t/.metrics-*")).isEmpty,
+      "tmp/old leftovers must be swept")
+  }
+
   test("starting_gtids start the tail mid-binlog; checkpoint beats starting_gtids") {
     val c = GenConfig(numEvents = 6000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
     val base = tmpDir("startgtid")
