@@ -69,7 +69,7 @@ object Main {
     verb match {
       case "spec" =>
         println(
-          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"}}}}""")
+          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"}}}}""")
 
       case "check" =>
         val spark = session()
@@ -180,9 +180,13 @@ object Main {
               val t = new LakeTable(root, spark)
               // --include_metadata: land the _graft_* provenance columns
               // (reference include_metadata, spec.json:63 +
-              // planetscale_edge_database.go:560-574)
+              // planetscale_edge_database.go:560-574); --wire: the source
+              // serves raw wire strings, the table lands the normalized
+              // TYPED repo_profile schema
               if (t.currentVersion.isEmpty) t.create(
-                if (o.get("include_metadata").exists(_.toBoolean))
+                if (o.get("wire").exists(_.toBoolean))
+                  graft.core.WireTableSpec.repoProfile.landingSchema
+                else if (o.get("include_metadata").exists(_.toBoolean))
                   ChangeEvent.rowSchemaWithMeta
                 else ChangeEvent.rowSchema,
                 numBuckets = o.getOrElse("buckets", "64").toInt)
@@ -203,7 +207,8 @@ object Main {
                 useReplica = o.get("use_replica").exists(_.toBoolean),
                 useRdonly = o.get("use_rdonly").exists(_.toBoolean),
                 replicaLagEvents = o.getOrElse("replica_lag", "0").toLong,
-                includeMetadata = o.get("include_metadata").exists(_.toBoolean))
+                includeMetadata = o.get("include_metadata").exists(_.toBoolean),
+                wirePayload = o.get("wire").exists(_.toBoolean))
               val t0 = System.nanoTime()
               val batches = CdcStream.runAvailableNow(spark, rc)
               val secs = (System.nanoTime() - t0) / 1e9

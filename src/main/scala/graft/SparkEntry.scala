@@ -312,17 +312,7 @@ object SparkEntry {
     * set come from `TypeMap.parseEnumOrSetValues` (reference
     * `types.go:260-282`) — nothing is pre-parsed.
     */
-  val wireProfileSpec: graft.core.WireTableSpec = graft.core.WireTableSpec(Seq(
-    graft.core.WireColumn("repo", "varchar(64)", "NO"),
-    graft.core.WireColumn("path", "varchar(128)", "NO"),
-    graft.core.WireColumn("status", "enum('active','inactive','archived')"),
-    graft.core.WireColumn("locations",
-      "set('San Francisco','New York','London','San Jose','Oakland')"),
-    graft.core.WireColumn("verified", "tinyint(1)"),
-    graft.core.WireColumn("created_at", "datetime"),
-    graft.core.WireColumn("updated_at", "timestamp"),
-    graft.core.WireColumn("balance", "decimal(10,2)"),
-    graft.core.WireColumn("stars", "bigint")))
+  val wireProfileSpec: graft.core.WireTableSpec = graft.core.WireTableSpec.repoProfile
 
   /** Normalization WIRED INTO THE INGEST PATH (the reference runs
     * `parseValue` on every synced row, `types.go:139-220`): a raw

@@ -25,6 +25,24 @@ final case class WireColumn(name: String, mysqlType: String, nullable: String = 
   * and landing use the TYPED form, consistently on both the staging and the
   * survivor-rewrite sides.
   */
+object WireTableSpec {
+  /** The engine's canonical wire-typed stream: the repo-content key plus the
+    * MySQL-typed profile columns the `graft-changelog` source serves when
+    * `wirePayload=true` (and the `cdc_normalized_ingest` oracle exercises).
+    */
+  val repoProfile: WireTableSpec = WireTableSpec(Seq(
+    WireColumn("repo", "varchar(64)", "NO"),
+    WireColumn("path", "varchar(128)", "NO"),
+    WireColumn("status", "enum('active','inactive','archived')"),
+    WireColumn("locations",
+      "set('San Francisco','New York','London','San Jose','Oakland')"),
+    WireColumn("verified", "tinyint(1)"),
+    WireColumn("created_at", "datetime"),
+    WireColumn("updated_at", "timestamp"),
+    WireColumn("balance", "decimal(10,2)"),
+    WireColumn("stars", "bigint")))
+}
+
 final case class WireTableSpec(
     columns: Seq[WireColumn],
     treatTinyIntAsBoolean: Boolean = true) {

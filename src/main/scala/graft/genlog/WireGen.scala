@@ -1,0 +1,96 @@
+package graft.genlog
+
+import graft.core.{ChangeEvent, LastPk}
+
+/** The wire-typed payload of one `repo_profile` change event: every column a
+  * raw MySQL wire STRING — enum indexes, set bitmasks, tinyint digits,
+  * zero-dates, fractional datetimes, bare `.33` decimals — exactly the shape
+  * a real VStream delivers before the reference runs `parseValue`
+  * (`types.go:139-220`). Keys (`repo`, `path`) stay canonical strings.
+  */
+final case class WireProfileRow(
+    repo: String,
+    path: String,
+    status: String,
+    locations: String,
+    verified: String,
+    created_at: String,
+    updated_at: String,
+    balance: String,
+    stars: String)
+
+/** One wire-typed change event (same envelope as [[ChangeEvent]]). */
+final case class WireChangeEvent(
+    keyspace: String,
+    shard: String,
+    vgtid: String,
+    event_seq: Long,
+    op: String,
+    before: Option[WireProfileRow],
+    after: Option[WireProfileRow],
+    is_copy_phase: Boolean,
+    last_pk: Option[LastPk],
+    schema_version: Int)
+
+/** Deterministic wire-value derivation: maps the offset-addressable typed
+  * changelog ([[EventGen]]) to the wire-string `repo_profile` stream the
+  * DSv2 source serves under `wirePayload=true`. Values are closed-form
+  * functions of (repo, path, event id via the content hash), so any offset
+  * range replays identically at any parallelism — same property as the
+  * typed stream.
+  */
+object WireGen {
+
+  private def pick(h: Long, mod: Int, salt: Int): Int = {
+    val m = EventGen.mix64(h ^ (salt.toLong << 17))
+    ((m % mod + mod) % mod).toInt
+  }
+
+  /** Wire values derived from the typed row's identity (repo/path/commit —
+    * commit already encodes the event id deterministically).
+    */
+  private def wireRow(repo: String, path: String, commit: String): WireProfileRow = {
+    val h = EventGen.mix64(commit.hashCode.toLong << 32 ^ repo.hashCode ^ path.hashCode)
+    val createdAt = pick(h, 10, 3) match {
+      case 0 => "0000-00-00 00:00:00"
+      case d if d % 3 == 0 => f"2021-03-04 05:06:0$d%d.${pick(h, 999999, 4)}%06d" // datetime(6)
+      case d => s"2021-03-04 05:06:0$d"
+    }
+    val balance = pick(h, 4, 5) match {
+      case 0 => ".33"
+      case 1 => "-.77"
+      case 2 => "12.5"
+      case _ => "-0.25"
+    }
+    WireProfileRow(
+      repo = repo,
+      path = path,
+      status = pick(h, 6, 1).toString,        // enum index 0..5 (3 labels → fallthroughs)
+      locations = pick(h, 33, 2).toString,    // set mask 0..32 (0 and 32 → original)
+      verified = pick(h, 3, 6).toString,      // tinyint digit 0..2
+      created_at = createdAt,
+      updated_at = s"2025-02-14 08:08:0${pick(h, 10, 7)}",
+      balance = balance,
+      stars = pick(h, 1000, 8).toString)
+  }
+
+  /** Lift a typed event to its wire form (delete before-images carry the key
+    * only, like the typed stream).
+    */
+  def fromEvent(e: ChangeEvent): WireChangeEvent = {
+    def lift(r: graft.core.RepoFile, keysOnly: Boolean): WireProfileRow =
+      if (keysOnly) WireProfileRow(r.repo, r.path, null, null, null, null, null, null, null)
+      else wireRow(r.repo, r.path, r.commit)
+    WireChangeEvent(
+      keyspace = e.keyspace,
+      shard = e.shard,
+      vgtid = e.vgtid,
+      event_seq = e.event_seq,
+      op = e.op,
+      before = e.before.map(lift(_, keysOnly = true)),
+      after = e.after.map(lift(_, keysOnly = false)),
+      is_copy_phase = e.is_copy_phase,
+      last_pk = e.last_pk,
+      schema_version = e.schema_version)
+  }
+}

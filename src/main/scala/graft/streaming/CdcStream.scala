@@ -40,7 +40,10 @@ object CdcStream {
       replicaLagEvents: Long = 0L,
       // reference `include_metadata` (spec.json:63): create the table with
       // the _graft_vgtid/_graft_seq/_graft_extracted_at provenance columns
-      includeMetadata: Boolean = false)
+      includeMetadata: Boolean = false,
+      // wire-typed stream: the source serves raw MySQL wire strings
+      // (repo_profile) and applyBatch normalizes them inside staging
+      wirePayload: Boolean = false)
 
   private def startingGtidsJson(g: Map[String, Map[String, String]]): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -96,6 +99,7 @@ object CdcStream {
       "rowsPerPartition" -> rc.rowsPerPartition.toString) ++
       rc.maxEventsPerTrigger.map("maxEventsPerTrigger" -> _.toString) ++
       rc.endSeq.map("endSeq" -> _.toString) ++
+      (if (rc.wirePayload) Map("wirePayload" -> "true") else Map.empty) ++
       (if (rc.useReplica) Map("useReplica" -> "true") else Map.empty) ++
       (if (rc.useRdonly) Map("useRdonly" -> "true") else Map.empty) ++
       (if (rc.replicaLagEvents > 0) Map("replicaLagEvents" -> rc.replicaLagEvents.toString)
@@ -195,7 +199,9 @@ object CdcStream {
         // apply itself (recovered from the staged winners' provenance
         // columns), not a pre-scan of the batch here
         val res = CdcApply.applyBatch(table, batch, batchId, streamId = rc.streamId,
-          conf = CdcApply.ApplyConfig(parityMode = rc.parityMode),
+          conf = CdcApply.ApplyConfig(parityMode = rc.parityMode,
+            wireSpec = if (rc.wirePayload) Some(graft.core.WireTableSpec.repoProfile)
+                       else None),
           streamName = rc.streamName)
         if (!res.skipped) {
           batches += 1

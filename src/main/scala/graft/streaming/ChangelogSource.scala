@@ -2,7 +2,7 @@ package graft.streaming
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import graft.core.ChangeEvent
-import graft.genlog.{ChangelogGen, EventGen, GenConfig}
+import graft.genlog.{ChangelogGen, EventGen, GenConfig, WireChangeEvent, WireGen}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -37,7 +37,8 @@ import scala.jdk.CollectionConverters._
 class ChangelogSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-changelog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ChangelogSource.schema
+    if (options.getBoolean("wirePayload", false)) ChangelogSource.wireSchema
+    else ChangelogSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ChangelogTable(ChangelogSource.parseOptions(properties.asScala.toMap))
@@ -45,6 +46,15 @@ class ChangelogSourceProvider extends TableProvider with DataSourceRegister {
 
 object ChangelogSource {
   val schema: StructType = ExpressionEncoder[ChangeEvent]().schema
+
+  /** `wirePayload=true`: the SAME offset space and sync semantics, but the
+    * payloads are raw MySQL wire strings (`repo_profile` — enum indexes,
+    * set bitmasks, zero/fractional datetimes, bare decimals) that
+    * `CdcApply` normalizes inside the staging projection. This is the
+    * reference's actual input shape: values reach `parseValue` as strings
+    * (`types.go:139-164`).
+    */
+  val wireSchema: StructType = ExpressionEncoder[WireChangeEvent]().schema
 
   final case class SourceOptions(
       gen: GenConfig,
@@ -54,7 +64,8 @@ object ChangelogSource {
       startingGtids: Map[String, String],
       startingPks: Map[String, (String, String)],
       tabletType: String,
-      replicaLagEvents: Long)
+      replicaLagEvents: Long,
+      wirePayload: Boolean)
 
   /** `startingGtids` option: the reference's `starting_gtids` JSON
     * (`{"<keyspace>": {"<shard>": "<gtid>"}}`, README.md:160-197) — entries
@@ -104,20 +115,23 @@ object ChangelogSource {
         if (opts.get("useRdonly").exists(_.toBoolean)) "rdonly"
         else if (opts.get("useReplica").exists(_.toBoolean)) "replica"
         else "primary",
-      replicaLagEvents = l("replicaLagEvents", 0L))
+      replicaLagEvents = l("replicaLagEvents", 0L),
+      wirePayload = opts.get("wirePayload").exists(_.toBoolean))
   }
 }
 
 class ChangelogTable(opts: ChangelogSource.SourceOptions) extends Table with SupportsRead {
   override def name(): String = s"graft_changelog(${opts.gen.keyspace})"
-  override def schema(): StructType = ChangelogSource.schema
+  override def schema(): StructType =
+    if (opts.wirePayload) ChangelogSource.wireSchema else ChangelogSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = ChangelogSource.schema
+        override def readSchema(): StructType =
+          if (opts.wirePayload) ChangelogSource.wireSchema else ChangelogSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ChangelogMicroBatchStream(opts)
         override def toBatch: Batch = new ChangelogBatch(opts)
@@ -219,7 +233,8 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
     ChangelogPlanner.plan(c, from, to, opts.rowsPerPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new ChangelogReaderFactory(c)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangelogReaderFactory(c, opts.wirePayload)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -233,7 +248,8 @@ class ChangelogBatch(opts: ChangelogSource.SourceOptions) extends Batch {
     val to = (0 until c.numShards).map(i => i -> EventGen.totalPerShard(i, c)).toMap
     ChangelogPlanner.plan(c, from, to, opts.rowsPerPartition)
   }
-  override def createReaderFactory(): PartitionReaderFactory = new ChangelogReaderFactory(c)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangelogReaderFactory(c, opts.wirePayload)
 }
 
 object ChangelogPlanner {
@@ -255,18 +271,23 @@ object ChangelogPlanner {
 case class ChangelogInputPartition(shardIdx: Int, from: Long, to: Long, c: GenConfig)
     extends InputPartition
 
-class ChangelogReaderFactory(c: GenConfig) extends PartitionReaderFactory {
+class ChangelogReaderFactory(c: GenConfig, wirePayload: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChangelogInputPartition]
     new PartitionReader[InternalRow] {
-      private val serializer = ExpressionEncoder[ChangeEvent]().createSerializer()
+      private val typedSer =
+        if (wirePayload) null else ExpressionEncoder[ChangeEvent]().createSerializer()
+      private val wireSer =
+        if (wirePayload) ExpressionEncoder[WireChangeEvent]().createSerializer() else null
       private val paths = EventGen.sortedPaths(p.c)
       private var pos = p.from
       private var row: InternalRow = _
       override def next(): Boolean =
         if (pos >= p.to) false
         else {
-          row = serializer(EventGen.eventAt(p.shardIdx, pos, p.c, paths))
+          val e = EventGen.eventAt(p.shardIdx, pos, p.c, paths)
+          row = if (wirePayload) wireSer(WireGen.fromEvent(e)) else typedSer(e)
           pos += 1
           true
         }

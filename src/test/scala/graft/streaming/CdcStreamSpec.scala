@@ -110,6 +110,43 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assert(m.select(countDistinct(col("batch_id"))).head().getLong(0) == batches)
   }
 
+  test("wirePayload source: raw wire strings stream through the DSv2 source and " +
+    "land NORMALIZED + TYPED; kill/resume stays exactly-once") {
+    val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10,
+      copyRows = 400L)
+    val base = tmpDir("wiresrc")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(graft.core.WireTableSpec.repoProfile.landingSchema, numBuckets = 4)
+    val rc = CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
+      maxEventsPerTrigger = Some(1500L), wirePayload = true)
+    // kill mid-stream, then resume on the same checkpoint
+    CdcStream.runAvailableNow(spark, rc.copy(endSeq = Some(1200L)))
+    CdcStream.runAvailableNow(spark, rc)
+
+    val df = t.read()
+    val types = df.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    assert(types("verified") == "BOOLEAN" && types("created_at") == "TIMESTAMP_NTZ" &&
+      types("updated_at") == "TIMESTAMP" && types("balance") == "DECIMAL(10,2)" &&
+      types("stars") == "BIGINT")
+
+    // same key-level final state as the typed stream (same offsets, same LWW
+    // winners, same deletes)
+    val want = ChangelogGen.expectedFinalState(spark, c).select("repo", "path")
+    val got = df.select("repo", "path")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // normalization evidence: enum indexes became labels (out-of-range kept),
+    // every generated temporal/decimal wire value parsed, cents in the wire set
+    val statuses = df.select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("", "active", "inactive", "archived", "4", "5")),
+      s"unexpected statuses: $statuses")
+    assert(df.filter(col("created_at").isNull || col("verified").isNull ||
+      col("balance").isNull).count() == 0)
+    val cents = df.select((col("balance") * 100).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cents.subsetOf(Set(33L, -77L, 1250L, -25L)), s"unexpected cents: $cents")
+  }
+
   test("compactMetrics crash recovery: an interrupted swap restores the ORIGINAL " +
     "sidecar (never deletes the only copy) and sweeps tmp leftovers") {
     val c = GenConfig(numEvents = 2000L, numShards = 2, numRepos = 10, pathsPerRepo = 5)
