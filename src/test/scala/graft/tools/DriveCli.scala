@@ -15,6 +15,16 @@ object DriveCli {
       "--events", "2000", "--shards", "2", "--repos", "10", "--paths", "5",
       "--include_metadata", "true"))
     graft.Main.main(Array("discover", "--table", s"$base/t"))
+    // arbitrary-table discovery from a column-spec file (golden-tested in
+    // DiscoverSpec; here just proving the CLI path)
+    graft.Main.main(Array("discover", "--columns", "src/test/resources/sakila_columns.json",
+      "--keyspace", "sakila", "--shards", "2"))
+    // wire-typed read: source serves raw MySQL wire strings, table lands
+    // the normalized typed repo_profile schema
+    graft.Main.main(Array("read",
+      "--table", s"$base/w", "--checkpoint", s"$base/wcp",
+      "--events", "2000", "--shards", "2", "--repos", "10", "--paths", "5",
+      "--wire", "true"))
     // independent session: prove the _graft_* columns landed populated
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").appName("graft-cli-verify")
@@ -27,6 +37,11 @@ object DriveCli {
       println(s"""{"cli_meta_cols":"${metaCols.mkString(",")}","rows":${df.count()},"meta_populated":$populated}""")
       require(metaCols == Seq("_graft_vgtid", "_graft_seq", "_graft_extracted_at"))
       require(populated == df.count() && populated > 0)
+      val wire = new graft.laketable.LakeTable(s"$base/w", spark).read()
+      val wireTypes = wire.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+      require(wireTypes("verified") == "BOOLEAN" && wireTypes("stars") == "BIGINT",
+        s"wire read did not land typed: $wireTypes")
+      println(s"""{"wire_rows":${wire.count()},"wire_types_ok":true}""")
       println("DriveCli OK")
     } finally spark.stop()
   }
