@@ -167,7 +167,8 @@ object Main {
                   startingGtids = startingGtids,
                   numBuckets = o.getOrElse("buckets", "64").toInt,
                   useGtidWithTablePks = o.get("use_gtid_with_table_pks").exists(_.toBoolean),
-                  includeMetadata = o.get("include_metadata").exists(_.toBoolean)),
+                  includeMetadata = o.get("include_metadata").exists(_.toBoolean),
+                  wirePayload = o.get("wire").exists(_.toBoolean)),
                 state = catalogState,
                 maxConcurrentStreams = o.getOrElse("stream_concurrency", "4").toInt)
               val secs = (System.nanoTime() - t0) / 1e9
@@ -182,13 +183,11 @@ object Main {
               // (reference include_metadata, spec.json:63 +
               // planetscale_edge_database.go:560-574); --wire: the source
               // serves raw wire strings, the table lands the normalized
-              // TYPED repo_profile schema
+              // TYPED repo_profile schema; the two COMPOSE
               if (t.currentVersion.isEmpty) t.create(
-                if (o.get("wire").exists(_.toBoolean))
-                  graft.core.WireTableSpec.repoProfile.landingSchema
-                else if (o.get("include_metadata").exists(_.toBoolean))
-                  ChangeEvent.rowSchemaWithMeta
-                else ChangeEvent.rowSchema,
+                ChangeEvent.landingSchemaFor(
+                  wirePayload = o.get("wire").exists(_.toBoolean),
+                  includeMetadata = o.get("include_metadata").exists(_.toBoolean)),
                 numBuckets = o.getOrElse("buckets", "64").toInt)
               // --state <file>: SyncState JSON (the reference's state file);
               // per-shard cursors resume the stream, PK watermarks resume the

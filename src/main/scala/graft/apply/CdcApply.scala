@@ -64,15 +64,35 @@ object CdcApply {
     Set("rank", "salt", "win", "key_events", "sub_events", "rn", "kind", "bucket")
 
   /** Canonical merge-key columns `_<name>` from the event's after/before
-    * images (delete events carry the key only in `before`).
+    * images (delete events carry the key only in `before`). `landing` maps
+    * each raw key to its canonical (typed) form BEFORE dedup groups on it —
+    * for wire streams this is the normalized typed value, so two wire
+    * spellings of one logical key ("42"/"042") can never stage two winners.
     */
-  private def withKeyCols(events: DataFrame, keys: Seq[String]): DataFrame = {
+  private def withKeyCols(events: DataFrame, keys: Seq[String],
+      landing: (String, Column) => Column): DataFrame = {
     val bad = keys.filter(ReservedKeyNames.contains)
     require(bad.isEmpty,
       s"key column name(s) ${bad.mkString(", ")} collide with dedup internals " +
         s"(reserved: ${ReservedKeyNames.toSeq.sorted.mkString(", ")})")
     keys.foldLeft(events)((df, k) =>
-      df.withColumn(s"_$k", coalesce(col(s"after.$k"), col(s"before.$k"))))
+      df.withColumn(s"_$k", landing(k, coalesce(col(s"after.$k"), col(s"before.$k")))))
+  }
+
+  /** Identity key landing (typed streams: the payload key IS canonical). */
+  val rawKey: (String, Column) => Column = (_, c) => c
+
+  /** Wire-stream key landing: normalize + typed cast, and FAIL LOUD when a
+    * non-null wire key is unrepresentable in the landing type — a silently
+    * nulled merge key would escape every later anti-join (NULL ≠ NULL) and
+    * accumulate un-updatable duplicate rows. Values get the lands-null
+    * contract; KEYS get the PK-integrity contract.
+    */
+  def wireKey(ws: graft.core.WireTableSpec): (String, Column) => Column = (k, c) => {
+    val landed = ws.normalizedLanding(k, c)
+    when(c.isNull || landed.isNotNull, landed)
+      .otherwise(raise_error(concat(
+        lit(s"unrepresentable merge-key value for '$k': "), c.cast("string"))))
   }
 
   /** LWW dedup: keep the newest event per merge key (default `(repo, path)`;
@@ -90,8 +110,10 @@ object CdcApply {
     * skew cure the window version lacks.
     */
   def dedupLww(events: DataFrame,
-      keys: Seq[String] = Seq("repo", "path")): DataFrame = {
-    val keyed = withKeyCols(events, keys).withColumn("_rank", vgtid_rank(col("vgtid")))
+      keys: Seq[String] = Seq("repo", "path"),
+      keyLanding: (String, Column) => Column = rawKey): DataFrame = {
+    val keyed = withKeyCols(events, keys, keyLanding)
+      .withColumn("_rank", vgtid_rank(col("vgtid")))
     val keyCols = keys.map(k => col(s"_$k"))
     val payload = events.columns.map(col) :+ col("_rank")
     // LwwMaxBy (TypedImperativeAggregate) instead of max_by(struct, struct):
@@ -118,8 +140,10 @@ object CdcApply {
     * `ApplyConfig.saltBuckets` only when key-flood skew is expected.
     */
   def dedupLwwSalted(events: DataFrame, salts: Int,
-      keys: Seq[String] = Seq("repo", "path")): DataFrame = {
-    val keyed = withKeyCols(events, keys).withColumn("_rank", vgtid_rank(col("vgtid")))
+      keys: Seq[String] = Seq("repo", "path"),
+      keyLanding: (String, Column) => Column = rawKey): DataFrame = {
+    val keyed = withKeyCols(events, keys, keyLanding)
+      .withColumn("_rank", vgtid_rank(col("vgtid")))
     val keyCols = keys.map(k => col(s"_$k"))
     val payload = events.columns.map(col) :+ col("_rank")
     val partial = keyed
@@ -137,8 +161,10 @@ object CdcApply {
 
   /** Window-formulated LWW (reference semantics oracle for tests). */
   def dedupLwwWindow(events: DataFrame,
-      keys: Seq[String] = Seq("repo", "path")): DataFrame = {
-    val keyed = withKeyCols(events, keys).withColumn("_rank", vgtid_rank(col("vgtid")))
+      keys: Seq[String] = Seq("repo", "path"),
+      keyLanding: (String, Column) => Column = rawKey): DataFrame = {
+    val keyed = withKeyCols(events, keys, keyLanding)
+      .withColumn("_rank", vgtid_rank(col("vgtid")))
     val w = Window.partitionBy(keys.map(k => col(s"_$k")): _*)
       .orderBy(col("_rank").desc, col("event_seq").desc)
     keyed.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
@@ -243,10 +269,14 @@ object CdcApply {
 
     val prevState = snap.summary.get("cursors").map(SyncState.fromJson).getOrElse(SyncState.empty)
     val keys = conf.keyColumns
+    // wire streams: keys are canonicalized (normalized + typed, fail-loud on
+    // unrepresentable) BEFORE dedup, so grouping, bucketing and landing all
+    // see one identical typed key value
+    val keyLanding = conf.wireSpec.map(wireKey).getOrElse(rawKey)
     val filtered = if (conf.parityMode) events.filter(col("op") =!= "delete") else events
     val deduped = conf.saltBuckets match {
-      case Some(salts) => dedupLwwSalted(filtered, salts, keys)
-      case None        => dedupLww(filtered, keys)
+      case Some(salts) => dedupLwwSalted(filtered, salts, keys, keyLanding)
+      case None        => dedupLww(filtered, keys, keyLanding)
     }
     val spark = events.sparkSession
 
@@ -257,22 +287,16 @@ object CdcApply {
     // Avro-driven renames the current snapshot may use different names —
     // map by Iceberg-style field id (rename = metadata only), columns added
     // since v0 fill null.
-    // a wire-typed key lands TYPED (e.g. a numeric PK): normalize+cast the
-    // canonical key column once, and bucket on the LANDED value — the
-    // survivor rewrite recomputes buckets from the (typed) read path, so
-    // staging must hash the same typed value or rewritten rows would
-    // migrate buckets and escape later anti-joins
-    def landedKey(k: String): Column = conf.wireSpec match {
-      case Some(ws) => ws.normalizedLanding(k, col(s"_$k"))
-      case None     => col(s"_$k")
-    }
-    val bucket = pmod(xxhash64(landedKey(keys.head)), lit(snap.numBuckets)).cast("int")
+    // `_<key>` columns are already canonical/typed (keyLanding ran before
+    // dedup), so bucketing here hashes the SAME value the survivor rewrite
+    // hashes from the typed read path
+    val bucket = pmod(xxhash64(col(s"_${keys.head}")), lit(snap.numBuckets)).cast("int")
     val origById = snap.schemas(0).map(f => f.id -> f.name).toMap
     def nullAs(ddl: String, name: String) =
       lit(null).cast(org.apache.spark.sql.types.DataType.fromDDL(ddl)).as(name)
     val dataCols = snap.currentSchema.map { f =>
       origById.get(f.id) match {
-        case Some(orig) if keys.contains(orig) => landedKey(orig).as(f.name)
+        case Some(orig) if keys.contains(orig) => col(s"_$orig").as(f.name)
         // provenance metadata (reference's _planetscale_metadata analogue):
         // position/sequence of the winning event + extraction timestamp
         case Some("_graft_vgtid")        => col("vgtid").as(f.name)

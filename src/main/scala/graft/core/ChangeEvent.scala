@@ -57,10 +57,22 @@ object ChangeEvent {
     * (`planetscale_edge_database.go:560-574`, `spec.json:63`). Tables created
     * with this extended schema get per-row provenance stamped at apply time.
     */
-  val rowSchemaWithMeta: StructType = StructType(rowSchema.fields ++ Seq(
+  val metaFields: Seq[StructField] = Seq(
     StructField("_graft_vgtid", StringType, nullable = true),
     StructField("_graft_seq", LongType, nullable = true),
-    StructField("_graft_extracted_at", TimestampType, nullable = true)))
+    StructField("_graft_extracted_at", TimestampType, nullable = true))
+
+  val rowSchemaWithMeta: StructType = StructType(rowSchema.fields ++ metaFields)
+
+  /** The landing schema a RunConfig's flags select: wire → the typed
+    * repo_profile landing; include_metadata appends the `_graft_*`
+    * provenance columns to EITHER base (the flags compose).
+    */
+  def landingSchemaFor(wirePayload: Boolean, includeMetadata: Boolean): StructType = {
+    val base =
+      if (wirePayload) WireTableSpec.repoProfile.landingSchema else rowSchema
+    if (includeMetadata) StructType(base.fields ++ metaFields) else base
+  }
 
   val schema: StructType = StructType(Seq(
     StructField("keyspace", StringType, nullable = false),

@@ -155,15 +155,19 @@ object CdcStream {
     //  - .metrics-tmp-* is never the only copy (tmp is promoted only after
     //    the original was moved aside, and that state restores above), so
     //    tmp leftovers are always safe to sweep.
-    val olds = fs.globStatus(new Path(s"$tableRoot/.metrics-old-*")).toSeq.map(_.getPath)
+    // restore from the NEWEST old by modification time: a stale old-* that
+    // survived a failed delete must never shadow the real original
+    val olds = fs.globStatus(new Path(s"$tableRoot/.metrics-old-*")).toSeq
+      .sortBy(_.getModificationTime)
     if (!fs.exists(dir)) {
-      olds.headOption match {
+      olds.lastOption match {
         case Some(o) =>
-          require(fs.rename(o, dir), s"metrics recovery rename failed: $o -> $dir")
-          olds.tail.foreach(p => fs.delete(p, true))
+          require(fs.rename(o.getPath, dir),
+            s"metrics recovery rename failed: ${o.getPath} -> $dir")
+          olds.init.foreach(p => fs.delete(p.getPath, true))
         case None => return false // no metrics yet
       }
-    } else olds.foreach(p => fs.delete(p, true))
+    } else olds.foreach(p => fs.delete(p.getPath, true))
     fs.globStatus(new Path(s"$tableRoot/.metrics-tmp-*"))
       .foreach(s => fs.delete(s.getPath, true))
     val parts = fs.listStatus(dir).count(_.getPath.getName.startsWith("part-"))
@@ -280,8 +284,7 @@ object CdcStream {
           }
           if (table.currentVersion.isEmpty)
             table.create(
-              if (rc.includeMetadata) graft.core.ChangeEvent.rowSchemaWithMeta
-              else graft.core.ChangeEvent.rowSchema,
+              graft.core.ChangeEvent.landingSchemaFor(rc.wirePayload, rc.includeMetadata),
               rc.numBuckets)
           s.name -> runAvailableNow(spark, rc)
         } }

@@ -276,18 +276,22 @@ class ChangelogReaderFactory(c: GenConfig, wirePayload: Boolean = false)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChangelogInputPartition]
     new PartitionReader[InternalRow] {
-      private val typedSer =
-        if (wirePayload) null else ExpressionEncoder[ChangeEvent]().createSerializer()
-      private val wireSer =
-        if (wirePayload) ExpressionEncoder[WireChangeEvent]().createSerializer() else null
+      // one serializer closure chosen at construction (no per-row branching)
+      private val encode: ChangeEvent => InternalRow =
+        if (wirePayload) {
+          val ser = ExpressionEncoder[WireChangeEvent]().createSerializer()
+          e => ser(WireGen.fromEvent(e))
+        } else {
+          val ser = ExpressionEncoder[ChangeEvent]().createSerializer()
+          e => ser(e)
+        }
       private val paths = EventGen.sortedPaths(p.c)
       private var pos = p.from
       private var row: InternalRow = _
       override def next(): Boolean =
         if (pos >= p.to) false
         else {
-          val e = EventGen.eventAt(p.shardIdx, pos, p.c, paths)
-          row = if (wirePayload) wireSer(WireGen.fromEvent(e)) else typedSer(e)
+          row = encode(EventGen.eventAt(p.shardIdx, pos, p.c, paths))
           pos += 1
           true
         }

@@ -236,6 +236,53 @@ class WireIngestSpec extends AnyFunSuite with SparkSupport {
     assert(r2(0).getAs[Long]("views") == 99L)
   }
 
+  test("unrepresentable wire KEY fails loud (PK integrity), never a silent null; " +
+    "non-canonical wire spellings of one key dedup to ONE landed row") {
+    import spark.implicits._
+    val wsk = WireTableSpec(Seq(
+      WireColumn("id", "bigint unsigned", "NO"),
+      WireColumn("path", "varchar(64)", "NO"),
+      WireColumn("n", "bigint")))
+    def batch(rows: Seq[(Long, String, String)]) =
+      rows.toDF("seq", "id", "n")
+        .select(lit("ks").as("keyspace"), lit("-").as("shard"),
+          concat(lit("MySQL56/aaaaaaaa-0000-0000-0000-000000000005:1-"), col("seq")).as("vgtid"),
+          col("seq").as("event_seq"), lit("update").as("op"),
+          lit(null).cast(wsk.wireRowSchema).as("before"),
+          struct(col("id"), lit("p").as("path"), col("n")).as("after"),
+          lit(false).as("is_copy_phase"),
+          lit(null).cast("struct<repo:string,path:string>").as("last_pk"),
+          lit(1).as("schema_version"))
+    val conf = CdcApply.ApplyConfig(wireSpec = Some(wsk), keyColumns = Seq("id", "path"))
+    val t1 = new LakeTable(tmpDir("badkey") + "/t", spark)
+    t1.create(wsk.landingSchema, numBuckets = 2)
+    // a key above Long range would land NULL and escape every future
+    // anti-join — the ingest must fail, not corrupt the PK invariant
+    val e = intercept[Exception] {
+      CdcApply.replayAll(t1, batch(Seq((1L, "18446744073709551615", "1"))), conf)
+    }
+    assert(e.getMessage.contains("unrepresentable merge-key") ||
+      Option(e.getCause).exists(_.getMessage.contains("unrepresentable merge-key")))
+    // canonicalization happens BEFORE dedup: "42" and "042" are ONE key
+    val t2 = new LakeTable(tmpDir("canon") + "/t", spark)
+    t2.create(wsk.landingSchema, numBuckets = 2)
+    CdcApply.replayAll(t2, batch(Seq((1L, "42", "10"), (2L, "042", "20"))), conf)
+    val rows = t2.read().collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("id") == 42L
+      && rows(0).getAs[Long]("n") == 20L)
+  }
+
+  test("wire + include_metadata landing schemas COMPOSE") {
+    import graft.core.ChangeEvent
+    val s = ChangeEvent.landingSchemaFor(wirePayload = true, includeMetadata = true)
+    assert(s.fieldNames.take(2).toSeq == Seq("repo", "path"))
+    assert(s.fieldNames.takeRight(3).toSeq ==
+      Seq("_graft_vgtid", "_graft_seq", "_graft_extracted_at"))
+    assert(s.fieldNames.contains("balance") && s.fieldNames.contains("verified"))
+    assert(ChangeEvent.landingSchemaFor(false, false) == ChangeEvent.rowSchema)
+    assert(ChangeEvent.landingSchemaFor(false, true) == ChangeEvent.rowSchemaWithMeta)
+  }
+
   test("reserved key names that would collide with dedup internals fail loud") {
     import spark.implicits._
     val ev = Seq(1).toDF("x").select(lit("ks").as("keyspace"), lit("-").as("shard"),
