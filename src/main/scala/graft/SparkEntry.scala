@@ -25,6 +25,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Materialize a SMALL result (≤ a few hundred rows) and delete the
+    * query's scratch dir: the self-contained CDC queries build a full lake
+    * table under java.io.tmpdir per invocation — without cleanup every
+    * bench/verify pass leaks one (tmpfs-backed RAM on the bench host).
+    */
+  private def materializeAndClean(df: DataFrame, scratch: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val out = df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+    out
+  }
+
   private def dec(c: Column, p: Int = 18, sc: Int = 2): Column = c.cast(s"decimal($p,$sc)")
 
   // --------------------------------------------------------------------- //
@@ -34,12 +46,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val c = GenConfig(numEvents = 5000L, numShards = 2, numRepos = 20, pathsPerRepo = 10,
       copyRows = 200L)
-    val root = java.nio.file.Files.createTempDirectory("graft-entry").toString + "/t"
-    val table = new LakeTable(root, spark)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val table = new LakeTable(s"$scratch/t", spark)
     table.create(ChangeEvent.rowSchema, numBuckets = 4)
     CdcApply.replayAll(table, ChangelogGen.fullStream(spark, c))
-    table.read().groupBy(col("repo"))
-      .agg(count(lit(1)).as("n_files"), sum(length(col("content"))).as("n_bytes"))
+    materializeAndClean(
+      table.read().groupBy(col("repo"))
+        .agg(count(lit(1)).as("n_files"), sum(length(col("content"))).as("n_bytes")),
+      scratch)
   }
 
   // --------------------------------------------------------------------- //
@@ -363,16 +377,18 @@ object SparkEntry {
       lit(false).as("is_copy_phase"),
       lit(null).cast("struct<repo:string,path:string>").as("last_pk"),
       lit(1).as("schema_version"))
-    val root = java.nio.file.Files.createTempDirectory("graft-wire").toString + "/t"
-    val table = new LakeTable(root, s)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-wire").toString
+    val table = new LakeTable(s"$scratch/t", s)
     table.create(ws.landingSchema, numBuckets = 8)
     CdcApply.replayAll(table, events, CdcApply.ApplyConfig(wireSpec = Some(ws)))
-    table.read().select(
-      col("repo"), col("path"), col("status"), col("locations"), col("verified"),
-      date_format(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("created_iso"),
-      date_format(col("updated_at"), "yyyy-MM-dd HH:mm:ss").as("updated_wire"),
-      (col("balance") * 100).cast("long").as("balance_cents"),
-      col("stars"))
+    materializeAndClean(
+      table.read().select(
+        col("repo"), col("path"), col("status"), col("locations"), col("verified"),
+        date_format(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("created_iso"),
+        date_format(col("updated_at"), "yyyy-MM-dd HH:mm:ss").as("updated_wire"),
+        (col("balance") * 100).cast("long").as("balance_cents"),
+        col("stars")),
+      scratch)
   }
 
   /** A5: GTID-set containment order — multi-UUID vectors, NOT lexicographic;
@@ -730,11 +746,13 @@ object SparkEntry {
     */
   private def cdcReplayFinalState(s: SparkSession, dir: String): DataFrame = {
     val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
-    val root = java.nio.file.Files.createTempDirectory("graft-q").toString + "/t"
-    val table = new LakeTable(root, s)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-q").toString
+    val table = new LakeTable(s"$scratch/t", s)
     table.create(ChangeEvent.rowSchema, numBuckets = 4)
     CdcApply.replayAll(table, ChangelogGen.fullStream(s, c))
-    table.read().select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    materializeAndClean(
+      table.read().select(col("repo"), col("path"), sha2(col("content"), 256).as("sha")),
+      scratch)
   }
 
   // --------------------------------------------------------------------- //

@@ -17,7 +17,10 @@ object Normalize {
     */
   def mysqlEnum(c: Column, labels: Seq[String]): Column = {
     val lab = array(labels.map(lit): _*)
-    when(c.rlike("^[0-9]+$"),
+    // digit bound keeps the interior cast ANSI-safe: an index beyond 9
+    // digits can never name a label (MySQL enums cap at 65,535), so it takes
+    // the same original-value fallthrough an out-of-range index does
+    when(c.rlike("^[0-9]{1,9}$"),
       when(c === "0", lit(""))
         .otherwise(coalesce(try_element_at(lab, c.cast("int")), c)))
       .otherwise(c)
@@ -39,7 +42,10 @@ object Normalize {
         when(shiftrightunsigned(mask, i).bitwiseAND(lit(1L)) === 1, lit(label))
       }: _*),
       x => x.isNotNull)
-    when(c.rlike("^[0-9]+$"),
+    // 18-digit bound: in-format values beyond Long range fall through to
+    // the original (the reference's ParseInt-error passthrough) instead of
+    // throwing under ANSI
+    when(c.rlike("^[0-9]{1,18}$"),
       when(size(picked) === 0, c).otherwise(array_join(picked, ",")))
       .otherwise(c)
   }
@@ -102,7 +108,8 @@ object Normalize {
     * column to preserve originals).
     */
   def tinyintBoolWire(c: Column): Column =
-    when(c.rlike("^-?[0-9]+$"), c.cast("long") =!= 0)
+    // 18-digit bound: the interior long cast can never ANSI-throw
+    when(c.rlike("^-?[0-9]{1,18}$"), c.cast("long") =!= 0)
 
   /** The reference's per-value `parseValue` dispatch (`types.go:175-220`),
     * driven by the column's MySQL type DDL (which determines the wire

@@ -128,59 +128,57 @@ object CdcStream {
       .write.mode("append").parquet(s"$tableRoot/metrics")
   }
 
-  /** Read the metrics table (one row per batch × shard). */
+  /** Read the metrics table (one row per batch × shard). Deduplicated on the
+    * natural key: a crash inside a sidecar fold (between promoting the
+    * folded file and deleting its inputs) can leave the same rows in two
+    * files — duplication is the ONLY crash hazard of the fold scheme, and
+    * the reader absorbs it, so no swap/rename dance of the whole directory
+    * is ever needed.
+    */
   def readMetrics(spark: SparkSession, tableRoot: String): DataFrame =
     spark.read.parquet(s"$tableRoot/metrics")
+      .dropDuplicates("batch_id", "keyspace", "shard")
 
-  /** Bound the metrics sidecar's file count: each micro-batch appends one
-    * small file, which over a year of micro-batches is a million tiny files.
-    * Once the directory exceeds `maxFiles`, fold it into one file via
-    * temp-write + two renames (no reader window sees a partial directory;
-    * metrics are advisory lineage outside the snapshot transaction, so a
-    * crash between renames costs at most the sidecar, never table data —
-    * and the stale `.metrics-*` dir is swept on the next compaction).
-    * Called opportunistically after every metrics append; no-ops below the
-    * threshold. Returns true when a fold happened.
+  /** Bound the metrics sidecar's file count with a TIERED generational fold
+    * (each micro-batch appends one small file; a year of micro-batches is a
+    * million tiny files): once `maxFiles` per-batch `part-*` files
+    * accumulate, fold them into ONE `gen1-*` file; once `maxFiles` gen1
+    * files accumulate (~maxFiles² batches), fold those into a `gen2-*`.
+    * Each row is rewritten O(tiers) times total — never the
+    * rewrite-everything-every-32-batches O(N²) a single-level fold costs —
+    * and no fold ever moves the live directory (appends and readers are
+    * never raced). A crash between promote and input-delete duplicates
+    * rows; [[readMetrics]] dedups. Returns true when any tier folded.
     */
   def compactMetrics(spark: SparkSession, tableRoot: String, maxFiles: Int = 32): Boolean = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(s"$tableRoot/metrics")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery FIRST, in dependency order:
-    //  - dir missing but a .metrics-old-* swap source exists → the crash hit
-    //    between the two renames; restore the ORIGINAL (the compaction is
-    //    simply lost, never the data);
-    //  - dir present → any .metrics-old-* is a superseded original from a
-    //    crash after the second rename: safe to drop;
-    //  - .metrics-tmp-* is never the only copy (tmp is promoted only after
-    //    the original was moved aside, and that state restores above), so
-    //    tmp leftovers are always safe to sweep.
-    // restore from the NEWEST old by modification time: a stale old-* that
-    // survived a failed delete must never shadow the real original
-    val olds = fs.globStatus(new Path(s"$tableRoot/.metrics-old-*")).toSeq
-      .sortBy(_.getModificationTime)
-    if (!fs.exists(dir)) {
-      olds.lastOption match {
-        case Some(o) =>
-          require(fs.rename(o.getPath, dir),
-            s"metrics recovery rename failed: ${o.getPath} -> $dir")
-          olds.init.foreach(p => fs.delete(p.getPath, true))
-        case None => return false // no metrics yet
-      }
-    } else olds.foreach(p => fs.delete(p.getPath, true))
+    if (!fs.exists(dir)) return false
+    // tmp leftovers from a crashed fold: inputs were never deleted, safe sweep
     fs.globStatus(new Path(s"$tableRoot/.metrics-tmp-*"))
       .foreach(s => fs.delete(s.getPath, true))
-    val parts = fs.listStatus(dir).count(_.getPath.getName.startsWith("part-"))
-    if (parts <= maxFiles) return false
-    val id = java.util.UUID.randomUUID().toString
-    val tmp = new Path(s"$tableRoot/.metrics-tmp-$id")
-    spark.read.parquet(dir.toString).coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(s"$tableRoot/.metrics-old-$id")
-    require(fs.rename(dir, old), s"metrics swap rename failed: $dir -> $old")
-    require(fs.rename(tmp, dir), s"metrics swap rename failed: $tmp -> $dir")
-    fs.delete(old, true)
-    true
+    def foldTier(inPrefix: String, outPrefix: String): Boolean = {
+      val files = fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(inPrefix))
+      if (files.length <= maxFiles) return false
+      val id = java.util.UUID.randomUUID().toString
+      val tmp = new Path(s"$tableRoot/.metrics-tmp-$id")
+      spark.read.parquet(files.map(_.toString): _*).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val folded = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"fold produced no file under $tmp"))
+      // promote INTO the live dir (single rename), then drop the inputs
+      require(fs.rename(folded, new Path(dir, s"$outPrefix$id.parquet")),
+        s"metrics fold promote failed: $folded")
+      files.foreach(f => fs.delete(f, true))
+      fs.delete(tmp, true)
+      true
+    }
+    val t1 = foldTier("part-", "gen1-")
+    val t2 = foldTier("gen1-", "gen2-")
+    t1 || t2
   }
 
   /** Run one `Trigger.AvailableNow` pass: peek the head, drain to it in

@@ -147,27 +147,36 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assert(cents.subsetOf(Set(33L, -77L, 1250L, -25L)), s"unexpected cents: $cents")
   }
 
-  test("compactMetrics crash recovery: an interrupted swap restores the ORIGINAL " +
-    "sidecar (never deletes the only copy) and sweeps tmp leftovers") {
+  test("compactMetrics crash window: duplicated fold output (promote happened, " +
+    "input delete didn't) is absorbed by the reader; tmp leftovers swept; " +
+    "no fold state ever moves the live dir") {
     val c = GenConfig(numEvents = 2000L, numShards = 2, numRepos = 10, pathsPerRepo = 5)
     val base = tmpDir("metricscrash")
     val t = new LakeTable(s"$base/t", spark)
     t.create(ChangeEvent.rowSchema, numBuckets = 4)
     CdcStream.runAvailableNow(spark, CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
       maxEventsPerTrigger = Some(500L)))
-    val rows = CdcStream.readMetrics(spark, s"$base/t").count()
-    // simulate a crash between the two swap renames: metrics moved aside,
-    // a compacted tmp copy left behind
+    val m0 = CdcStream.readMetrics(spark, s"$base/t")
+    val rows = m0.count()
+    val events = m0.select(sum(col("rows"))).head().getLong(0)
+    // crash simulation: a promoted fold file whose inputs were never deleted
+    // == every row present twice; plus an orphaned tmp dir
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$base/t/metrics"),
-      new org.apache.hadoop.fs.Path(s"$base/t/.metrics-old-crash"))
+    val metricsDir = new org.apache.hadoop.fs.Path(s"$base/t/metrics")
+    val aPart = fs.listStatus(metricsDir).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    org.apache.hadoop.fs.FileUtil.copy(fs, aPart, fs,
+      new org.apache.hadoop.fs.Path(metricsDir, "gen1-crashdup.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/t/.metrics-tmp-crash"))
+    // reader view unchanged despite the physical duplicate
+    val m1 = CdcStream.readMetrics(spark, s"$base/t")
+    assert(m1.count() == rows && m1.select(sum(col("rows"))).head().getLong(0) == events)
     CdcStream.compactMetrics(spark, s"$base/t")
-    assert(CdcStream.readMetrics(spark, s"$base/t").count() == rows,
-      "recovery must restore the full original sidecar")
-    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/t/.metrics-*")).isEmpty,
-      "tmp/old leftovers must be swept")
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/t/.metrics-tmp-*")).isEmpty)
+    val m2 = CdcStream.readMetrics(spark, s"$base/t")
+    assert(m2.count() == rows && m2.select(sum(col("rows"))).head().getLong(0) == events)
   }
 
   test("starting_gtids start the tail mid-binlog; checkpoint beats starting_gtids") {
