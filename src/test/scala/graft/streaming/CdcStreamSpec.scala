@@ -147,6 +147,24 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assert(cents.subsetOf(Set(33L, -77L, 1250L, -25L)), s"unexpected cents: $cents")
   }
 
+  test("wirePayload + includeMetadata COMPOSE through the streaming path: " +
+    "typed normalized columns AND _graft_* provenance in one table") {
+    val c = GenConfig(numEvents = 2000L, numShards = 2, numRepos = 10, pathsPerRepo = 5)
+    val base = tmpDir("wiremeta")
+    val cat = graft.core.ConfiguredCatalog(Seq(
+      graft.core.ConfiguredStream("wm", c.keyspace, "incremental")))
+    CdcStream.runCatalog(spark, cat, s =>
+      CdcStream.RunConfig(c, s"$base/${s.name}", s"$base/cp/${s.name}", numBuckets = 4,
+        wirePayload = true, includeMetadata = true))
+    val df = new LakeTable(s"$base/wm", spark).read()
+    val types = df.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    assert(types("verified") == "BOOLEAN" && types("balance") == "DECIMAL(10,2)")
+    assert(df.columns.toSeq.takeRight(3) ==
+      Seq("_graft_vgtid", "_graft_seq", "_graft_extracted_at"))
+    assert(df.filter(col("_graft_vgtid").startsWith("MySQL56/")).count() == df.count())
+    assert(df.filter(col("verified").isNull).count() == 0)
+  }
+
   test("compactMetrics crash window: duplicated fold output (promote happened, " +
     "input delete didn't) is absorbed by the reader; tmp leftovers swept; " +
     "no fold state ever moves the live dir") {
