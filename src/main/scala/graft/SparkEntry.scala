@@ -726,18 +726,21 @@ object SparkEntry {
     * id-to-id — no stage reads `text` twice.
     */
   private def pipelineTrainingSet(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val canonical = docs
-      .groupBy(md5(col("text")).as("text_md5"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    docs
-      .select(col("doc_id"),
+    // ONE scan of documents: gates + content hash computed in the scan
+    // projection, then a window partitioned by the hash picks the canonical
+    // copy — the shuffle carries ~50-byte feature rows, never the text
+    // itself (a groupBy-then-semi-join formulation reads the full text
+    // column twice)
+    val w = Window.partitionBy(col("text_md5"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
         T.langId(col("text")).as("predicted"),
         T.qualityScore(col("text")).as("quality"),
         T.tokenCount(col("text")).as("tokens"))
-      .filter(col("predicted") === "en" && col("quality") >= 500)
-      .join(canonical, Seq("doc_id"), "left_semi")
+      .withColumn("_keep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("_keep") &&
+        col("predicted") === "en" && col("quality") >= 500)
+      .select(col("doc_id"), col("predicted"), col("quality"), col("tokens"))
   }
 
   /** The engine itself as a query: replay a 2-shard changelog through the
