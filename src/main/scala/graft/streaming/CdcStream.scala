@@ -178,7 +178,10 @@ object CdcStream {
     }
     val t1 = foldTier("part-", "gen1-")
     val t2 = foldTier("gen1-", "gen2-")
-    t1 || t2
+    // a gen3 tier caps the file count at ~4×maxFiles for any realistic
+    // stream lifetime (gen3 fills after maxFiles³ ≈ 32k× maxFiles batches)
+    val t3 = foldTier("gen2-", "gen3-")
+    t1 || t2 || t3
   }
 
   /** Run one `Trigger.AvailableNow` pass: peek the head, drain to it in
