@@ -17,12 +17,16 @@ object Normalize {
     */
   def mysqlEnum(c: Column, labels: Seq[String]): Column = {
     val lab = array(labels.map(lit): _*)
-    // digit bound keeps the interior cast ANSI-safe: an index beyond 9
-    // digits can never name a label (MySQL enums cap at 65,535), so it takes
-    // the same original-value fallthrough an out-of-range index does
-    when(c.rlike("^[0-9]{1,9}$"),
-      when(c === "0", lit(""))
-        .otherwise(coalesce(try_element_at(lab, c.cast("int")), c)))
+    // 18-digit bound keeps the interior cast ANSI-safe (long-range by
+    // construction); the NUMERIC zero test handles zero-padded indexes
+    // ('00' → "" like the reference's ParseInt), and try_element_at never
+    // sees index 0 (Spark throws INVALID_INDEX_OF_ZERO even in the try
+    // variant) or an int-overflowing index (nulled → original fallthrough)
+    val idx = c.cast("long")
+    when(c.rlike("^[0-9]{1,18}$"),
+      when(idx === 0L, lit(""))
+        .otherwise(coalesce(
+          try_element_at(lab, when(idx <= Int.MaxValue, idx).cast("int")), c)))
       .otherwise(c)
   }
 
@@ -42,10 +46,14 @@ object Normalize {
         when(shiftrightunsigned(mask, i).bitwiseAND(lit(1L)) === 1, lit(label))
       }: _*),
       x => x.isNotNull)
-    // 18-digit bound: in-format values beyond Long range fall through to
-    // the original (the reference's ParseInt-error passthrough) instead of
-    // throwing under ANSI
-    when(c.rlike("^[0-9]{1,18}$"),
+    // value-safe Long guard (up to 19 digits, lexicographic bound at
+    // Long.MaxValue for the 19-digit case): every mask the reference's
+    // 64-bit ParseInt accepts decodes — including high-bit masks of
+    // 60+-member SETs — while beyond-Long values take the reference's
+    // parse-error passthrough instead of throwing under ANSI
+    val numeric = c.rlike("^[0-9]{1,19}$") &&
+      (length(c) < 19 || c <= lit("9223372036854775807"))
+    when(numeric,
       when(size(picked) === 0, c).otherwise(array_join(picked, ",")))
       .otherwise(c)
   }

@@ -136,7 +136,11 @@ object CdcStream {
     * is ever needed.
     */
   def readMetrics(spark: SparkSession, tableRoot: String): DataFrame =
-    spark.read.parquet(s"$tableRoot/metrics")
+    // ignoreMissingFiles: a fold on the writer thread may delete input files
+    // between an external reader's listing and its execution — skip, don't
+    // fail (a read racing a fold can transiently miss the just-folded rows;
+    // metrics are an advisory sidecar, re-read for a settled view)
+    spark.read.option("ignoreMissingFiles", "true").parquet(s"$tableRoot/metrics")
       .dropDuplicates("batch_id", "keyspace", "shard")
 
   /** Bound the metrics sidecar's file count with a TIERED generational fold
@@ -146,14 +150,32 @@ object CdcStream {
     * files accumulate (~maxFiles² batches), fold those into a `gen2-*`.
     * Each row is rewritten O(tiers) times total — never the
     * rewrite-everything-every-32-batches O(N²) a single-level fold costs —
-    * and no fold ever moves the live directory (appends and readers are
-    * never raced). A crash between promote and input-delete duplicates
-    * rows; [[readMetrics]] dedups. Returns true when any tier folded.
+    * and no fold ever moves the live directory. A crash between promote and
+    * input-delete duplicates rows; [[readMetrics]] dedups (and skips files
+    * a concurrent fold deletes mid-read — such a read may transiently miss
+    * the folded rows; re-read for a settled view). Returns true when any
+    * tier folded.
     */
   def compactMetrics(spark: SparkSession, tableRoot: String, maxFiles: Int = 32): Boolean = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(s"$tableRoot/metrics")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // migration/adoption of pre-tiered swap leftovers: an earlier scheme
+    // could crash with the sidecar moved aside to .metrics-old-*; adopt it
+    // (restore when the live dir is gone, otherwise fold its files in —
+    // duplicates are absorbed by the reader's dedup)
+    fs.globStatus(new Path(s"$tableRoot/.metrics-old-*")).foreach { o =>
+      if (!fs.exists(dir)) {
+        require(fs.rename(o.getPath, dir), s"metrics adopt failed: ${o.getPath}")
+      } else {
+        fs.listStatus(o.getPath).filter(_.getPath.getName.startsWith("part-"))
+          .zipWithIndex.foreach { case (f, i) =>
+            fs.rename(f.getPath, new Path(dir,
+              s"gen1-adopt-${java.util.UUID.randomUUID()}-$i.parquet"))
+          }
+        fs.delete(o.getPath, true)
+      }
+    }
     if (!fs.exists(dir)) return false
     // tmp leftovers from a crashed fold: inputs were never deleted, safe sweep
     fs.globStatus(new Path(s"$tableRoot/.metrics-tmp-*"))

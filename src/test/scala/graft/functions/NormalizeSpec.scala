@@ -67,6 +67,25 @@ class NormalizeSpec extends AnyFunSuite with SparkSupport {
     assert(f("12.34") == "12.34")
   }
 
+  test("enum/set numeric edge cases stay ANSI-safe and reference-faithful: " +
+    "zero-padded '00' → empty, padded index decodes, huge index/mask passes " +
+    "through, 19-digit in-Long-range SET masks decode") {
+    val labels = Seq("a", "b", "c")
+    def enum(v: String) = one(Seq(v).toDF("v").select(Normalize.mysqlEnum($"v", labels)))
+    assert(enum("00") == "")              // ParseInt("00")=0 → empty (no zero-index crash)
+    assert(enum("0000000002") == "b")     // zero-padded index still decodes
+    assert(enum("99999999999999999999") == "99999999999999999999") // >18 digits → original
+    assert(enum("3000000000") == "3000000000") // > Int.MaxValue → original fallthrough
+    val bigSet = (1 to 61).map(i => s"L$i")
+    def set(v: String) = one(Seq(v).toDF("v").select(Normalize.mysqlSet($"v", bigSet)))
+    assert(set((1L << 60).toString) == "L61")  // 19-digit in-range mask decodes
+    assert(set("9223372036854775807").nonEmpty) // Long.MaxValue mask decodes (all 61 bits visible)
+    assert(set("9999999999999999999") == "9999999999999999999") // 19 digits beyond Long → original
+    def tiny(v: String) = Seq(v).toDF("v").select(Normalize.tinyintBoolWire($"v")).head()
+    assert(tiny("2").getBoolean(0) && !tiny("0").getBoolean(0) && tiny("x").isNullAt(0))
+    assert(tiny("18446744073709551615").isNullAt(0)) // >18 digits → null, never ANSI-throw
+  }
+
   test("GC/vrepl table filter (planetscale_edge_mysql_test.go:9 semantics)") {
     val names = Seq(
       "users" -> false,
