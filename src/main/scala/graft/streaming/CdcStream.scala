@@ -135,13 +135,18 @@ object CdcStream {
     * the reader absorbs it, so no swap/rename dance of the whole directory
     * is ever needed.
     */
-  def readMetrics(spark: SparkSession, tableRoot: String): DataFrame =
-    // ignoreMissingFiles: a fold on the writer thread may delete input files
-    // between an external reader's listing and its execution — skip, don't
-    // fail (a read racing a fold can transiently miss the just-folded rows;
-    // metrics are an advisory sidecar, re-read for a settled view)
-    spark.read.option("ignoreMissingFiles", "true").parquet(s"$tableRoot/metrics")
+  def readMetrics(spark: SparkSession, tableRoot: String,
+      lenient: Boolean = false): DataFrame = {
+    // lenient=true (for readers POLLING concurrently with a live writer): a
+    // fold on the writer thread may delete input files between the reader's
+    // listing and its execution — skip them; such a read can transiently
+    // miss just-folded rows, re-read for a settled view. The strict default
+    // keeps genuinely missing files LOUD for post-run audits and tests.
+    val base = if (lenient) spark.read.option("ignoreMissingFiles", "true")
+               else spark.read
+    base.parquet(s"$tableRoot/metrics")
       .dropDuplicates("batch_id", "keyspace", "shard")
+  }
 
   /** Bound the metrics sidecar's file count with a TIERED generational fold
     * (each micro-batch appends one small file; a year of micro-batches is a
@@ -170,8 +175,11 @@ object CdcStream {
       } else {
         fs.listStatus(o.getPath).filter(_.getPath.getName.startsWith("part-"))
           .zipWithIndex.foreach { case (f, i) =>
-            fs.rename(f.getPath, new Path(dir,
-              s"gen1-adopt-${java.util.UUID.randomUUID()}-$i.parquet"))
+            // a failed rename must NOT reach the delete below — these rows
+            // exist nowhere else
+            require(fs.rename(f.getPath, new Path(dir,
+              s"gen1-adopt-${java.util.UUID.randomUUID()}-$i.parquet")),
+              s"metrics adopt rename failed: ${f.getPath}")
           }
         fs.delete(o.getPath, true)
       }

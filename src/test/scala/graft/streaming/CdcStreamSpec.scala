@@ -195,6 +195,26 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/t/.metrics-tmp-*")).isEmpty)
     val m2 = CdcStream.readMetrics(spark, s"$base/t")
     assert(m2.count() == rows && m2.select(sum(col("rows"))).head().getLong(0) == events)
+
+    // pre-tiered-scheme migration, branch 1: the whole sidecar stranded
+    // under .metrics-old-* with no live dir → adopted back verbatim
+    fs.rename(metricsDir, new org.apache.hadoop.fs.Path(s"$base/t/.metrics-old-legacy"))
+    CdcStream.compactMetrics(spark, s"$base/t")
+    val m3 = CdcStream.readMetrics(spark, s"$base/t")
+    assert(m3.count() == rows && m3.select(sum(col("rows"))).head().getLong(0) == events)
+    // branch 2: an old leftover ALONGSIDE a live dir → its files fold in
+    // (duplicates absorbed by the reader), leftover dir removed
+    val legacy = new org.apache.hadoop.fs.Path(s"$base/t/.metrics-old-two")
+    fs.mkdirs(legacy)
+    val somePart = fs.listStatus(metricsDir).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    org.apache.hadoop.fs.FileUtil.copy(fs, somePart, fs,
+      new org.apache.hadoop.fs.Path(legacy, "part-legacy.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    CdcStream.compactMetrics(spark, s"$base/t")
+    assert(!fs.exists(legacy))
+    val m4 = CdcStream.readMetrics(spark, s"$base/t")
+    assert(m4.count() == rows && m4.select(sum(col("rows"))).head().getLong(0) == events)
   }
 
   test("starting_gtids start the tail mid-binlog; checkpoint beats starting_gtids") {

@@ -28,11 +28,11 @@ object DriveSoak {
       val base = java.nio.file.Files.createTempDirectory("graft-soak").toString
       val t = new LakeTable(s"$base/t", spark)
       t.create(ChangeEvent.rowSchema, numBuckets = 8)
-      val totalPerShard = (0 until c.numShards)
-        .map(i => graft.genlog.EventGen.totalPerShard(i, c)).max
+      val shardTotals = (0 until c.numShards)
+        .map(i => graft.genlog.EventGen.totalPerShard(i, c))
       // 12 kill/resume passes; tiny micro-batches → ~100+ batches total
       var batches = 0L
-      val stops = (1 to 12).map(i => totalPerShard * i / 12)
+      val stops = (1 to 12).map(i => shardTotals.max * i / 12)
       stops.foreach { head =>
         batches += CdcStream.runAvailableNow(spark, CdcStream.RunConfig(
           c, s"$base/t", s"$base/cp",
@@ -52,16 +52,24 @@ object DriveSoak {
       require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         "soak final state diverged from oracle")
 
-      // cursors at the true head
+      // cursors at the TRUE head: every shard's committed position rank
+      // equals its end-of-binlog rank, not just "some cursor exists"
       val st = SyncState.fromJson(t.summaryValue("cursors").get)
-      require(st.streams(s"${c.keyspace}:repo_content").size == c.numShards)
+      val shards = st.streams(s"${c.keyspace}:repo_content")
+      require(shards.size == c.numShards)
+      (0 until c.numShards).foreach { i =>
+        val name = graft.genlog.EventGen.shardName(c.numShards, i)
+        val endRank = graft.genlog.EventGen.catchupPerShard(i, c) +
+          graft.genlog.EventGen.copyRankBase(c)
+        val got = graft.core.VGtid.rank(shards(name).position)
+        require(got == endRank, s"shard $name cursor rank $got != head $endRank")
+      }
 
       // metrics: every batch exactly once through all the folds
       val m = CdcStream.readMetrics(spark, s"$base/t")
       val mBatches = m.select(countDistinct(col("batch_id"))).head().getLong(0)
       val mRows = m.select(sum(col("rows"))).head().getLong(0)
-      val totalEvents = (0 until c.numShards)
-        .map(i => graft.genlog.EventGen.totalPerShard(i, c)).sum
+      val totalEvents = shardTotals.sum
       require(mRows == totalEvents, s"metrics rows $mRows != events $totalEvents")
       require(mBatches == batches, s"metrics batches $mBatches != $batches")
 
