@@ -56,6 +56,47 @@ object CdcApply {
       wireSpec: Option[graft.core.WireTableSpec] = None,
       keyColumns: Seq[String] = Seq("repo", "path"))
 
+  /** Trailing window of `lineage:b<N>` summary keys retained per stream —
+    * older entries are pruned at commit so the snapshot summary stays O(1)
+    * over a stream's lifetime (the metrics sidecar is the durable record;
+    * only the newest batch can ever need a lineage-driven metrics backfill).
+    */
+  val lineageKeep: Long = 64L
+
+  private val lineageMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[graft] def lineageJson(batchId: Long, buckets: Int, upserts: Long,
+      deletes: Long, wallMs: Long, version: Long,
+      stats: Map[String, ShardStats]): String = {
+    val n = lineageMapper.createObjectNode()
+    n.put("batchId", batchId); n.put("buckets", buckets)
+    n.put("upserts", upserts); n.put("deletes", deletes)
+    n.put("wallMs", wallMs); n.put("version", version)
+    val sh = n.putObject("shards")
+    stats.toSeq.sortBy(_._1).foreach { case (shard, st) =>
+      val s = sh.putObject(shard)
+      s.put("keyspace", st.cursor.keyspace)
+      s.put("position", st.cursor.position)
+      s.put("start", st.vgtidStart); s.put("end", st.vgtidEnd)
+      s.put("rows", st.rows)
+    }
+    lineageMapper.writeValueAsString(n)
+  }
+
+  /** Parsed lineage entry: (wallMs, committedVersion, per-shard stats). */
+  private[graft] def lineageStats(json: String): (Long, Long, Map[String, ShardStats]) = {
+    import scala.jdk.CollectionConverters._
+    val n = lineageMapper.readTree(json)
+    val shards = Option(n.get("shards")).map(_.properties().asScala.map { e =>
+      val s = e.getValue
+      e.getKey -> ShardStats(
+        ShardCursor(s.get("keyspace").asText(), e.getKey, s.get("position").asText(), None),
+        s.get("rows").asLong(), s.get("start").asText(), s.get("end").asText())
+    }.toMap).getOrElse(Map.empty[String, ShardStats])
+    (Option(n.get("wallMs")).map(_.asLong()).getOrElse(0L),
+      Option(n.get("version")).map(_.asLong()).getOrElse(0L), shards)
+  }
+
   /** Key names whose canonical `_<name>` column would collide with the
     * dedup/staging internals (`_rank`, `_salt`, `_win`, …) — a collision
     * would silently corrupt the LWW grouping, so fail loud instead.
@@ -259,6 +300,7 @@ object CdcApply {
       conf: ApplyConfig = ApplyConfig(),
       streamName: String = "repo_content"): ApplyResult = {
 
+    val tStart = System.nanoTime()
     val snap = table.currentSnapshot.getOrElse(
       throw new IllegalStateException("LakeTable.create() first"))
 
@@ -376,15 +418,28 @@ object CdcApply {
         }
         st.updated(stateKey, keep)
       }
-      val lineage =
-        s"""{"batchId":$batchId,"buckets":${affected.size},"upserts":$upsertCount,"deletes":$deleteCount}"""
+      // lineage carries the per-shard stats so a crash between this commit
+      // and the caller's metrics append can be healed: a replay-skip
+      // reconstructs the batch's metrics rows from here (exactly-once
+      // metrics even across that window). `version` is the version this
+      // commit lands as (single writer — nothing commits in between).
+      val lineage = lineageJson(batchId, affected.size, upsertCount, deleteCount,
+        (System.nanoTime() - tStart) / 1000000L, snap.version + 1, stats)
+      // bounded lineage: retain the trailing window only — the summary map
+      // (rewritten every commit) must not grow O(batches) over a stream's
+      // lifetime. The metrics sidecar is the durable per-batch record.
+      val stale = snap.summary.keysIterator.filter { k =>
+        k.startsWith("lineage:b") &&
+          k.stripPrefix("lineage:b").toLongOption.exists(_ <= batchId - lineageKeep)
+      }.toSet
       val committed = table.commit(
         replacedBuckets = affected,
         newFiles = newFiles,
         summaryUpdates = Map(
           key -> batchId.toString,
           "cursors" -> merged.toJson,
-          s"lineage:b$batchId" -> lineage))
+          s"lineage:b$batchId" -> lineage),
+        dropSummaryKeys = stale)
       ApplyResult(committed, upsertCount, deleteCount, skipped = false, stats = stats)
     } finally table.dropStage(stage)
   }

@@ -23,18 +23,34 @@ final case class DataFileEntry(path: String, bucket: Int, rows: Long, schemaVers
 /** A named, typed column with a stable field id. Renames keep the id. */
 final case class FieldDef(id: Int, name: String, dataType: String)
 
+/** One immutable manifest file covering the bucket range [loBucket, hiBucket):
+  * the snapshot references manifests, manifests list data files (Iceberg's
+  * manifest-list / manifest split). A commit rewrites ONLY the manifests of
+  * bucket groups it touches; untouched groups reuse the previous snapshot's
+  * manifest file byte-for-byte — commit metadata cost is O(affected buckets),
+  * never O(total files).
+  */
+final case class ManifestEntry(path: String, loBucket: Int, hiBucket: Int, fileCount: Int)
+
 final case class Snapshot(
     version: Long,
     schemaVersion: Int,
     schemas: Map[Int, Seq[FieldDef]],
     numBuckets: Int,
-    files: Seq[DataFileEntry],
+    bucketsPerManifest: Int,
+    manifests: Seq[ManifestEntry],
     summary: Map[String, String]) {
 
   def currentSchema: Seq[FieldDef] = schemas(schemaVersion)
 
   def sparkSchema: StructType =
     StructType(currentSchema.map(f => StructField(f.name, DataType.fromDDL(f.dataType))))
+
+  /** Total data-file count — from manifest-list counts, no manifest reads. */
+  def fileCount: Int = manifests.map(_.fileCount).sum
+
+  /** Bucket-group id of a bucket (one manifest per group). */
+  def groupOf(bucket: Int): Int = bucket / bucketsPerManifest
 }
 
 /** Iceberg-style snapshot table, built from scratch (no Iceberg/Delta runtime
@@ -47,13 +63,19 @@ final case class Snapshot(
   *
   * Layout (works on any Hadoop FileSystem — local, HDFS, S3A):
   *   <root>/data/<uuid>.parquet          immutable data files
-  *   <root>/meta/v<N>.json               snapshot N
+  *   <root>/meta/m-<uuid>.json           immutable manifest (files of one bucket group)
+  *   <root>/meta/v<N>.json               snapshot N (schemas + manifest list + summary)
   *   <root>/meta/version-hint.txt        current version (atomic rename swap)
   *
   * Scale design: data files are bucketed by `pmod(xxhash64(repo), numBuckets)`
   * so a MERGE touches only the buckets present in the incoming batch; at
   * 100 TB with numBuckets sized so a bucket ≈ a few GB, a micro-batch rewrite
-  * is O(affected buckets), never a full-table rewrite.
+  * is O(affected buckets), never a full-table rewrite. Snapshot metadata is a
+  * two-level manifest tree (Iceberg's manifest-list/manifest design): v<N>.json
+  * holds only the manifest LIST (one tiny entry per bucket group); the file
+  * entries live in immutable per-group manifests that unaffected commits reuse
+  * by reference — so each micro-batch commit serializes O(affected buckets)
+  * metadata, not O(total files), even at 10⁴–10⁵ data files.
   */
 final class LakeTable(val root: String, spark: SparkSession) {
   import LakeTable._
@@ -94,6 +116,37 @@ final class LakeTable(val root: String, spark: SparkSession) {
 
   def currentSnapshot: Option[Snapshot] = currentVersion.map(snapshot)
 
+  // ---- manifest IO -------------------------------------------------------
+
+  /** Write one immutable manifest for bucket group [lo, hi). Temp-write +
+    * rename so a referenced manifest is never partially written; the UUID
+    * name makes replayed commits write fresh files (stale orphans are GC'd
+    * by [[expireSnapshots]]).
+    */
+  private def writeManifest(lo: Int, hi: Int, files: Seq[DataFileEntry]): ManifestEntry = {
+    val f = fs
+    f.mkdirs(metaDir)
+    val name = s"m-${UUID.randomUUID()}.json"
+    val tmp = new Path(metaDir, s".$name.tmp")
+    val out = f.create(tmp, true)
+    try out.write(manifestToJson(files).getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val dest = new Path(metaDir, name)
+    if (!f.rename(tmp, dest))
+      throw new IllegalStateException(s"failed to write manifest $name")
+    ManifestEntry(s"meta/$name", lo, hi, files.size)
+  }
+
+  private def readManifest(m: ManifestEntry): Seq[DataFileEntry] = {
+    val in = fs.open(new Path(root, m.path))
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+    manifestFromJson(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  /** All data files of a snapshot (reads every manifest — full-scan and
+    * maintenance paths only; the commit path never calls this).
+    */
+  def allFiles(snap: Snapshot): Seq[DataFileEntry] = snap.manifests.flatMap(readManifest)
+
   private def writeSnapshot(s: Snapshot): Unit = {
     val f = fs
     f.mkdirs(metaDir)
@@ -119,10 +172,14 @@ final class LakeTable(val root: String, spark: SparkSession) {
 
   // ---- create / read -----------------------------------------------------
 
-  def create(schema: StructType, numBuckets: Int, props: Map[String, String] = Map.empty): Snapshot = {
+  def create(schema: StructType, numBuckets: Int, props: Map[String, String] = Map.empty,
+      bucketsPerManifest: Int = 0): Snapshot = {
     require(currentVersion.isEmpty, s"table already exists at $root")
+    val bpm =
+      if (bucketsPerManifest > 0) bucketsPerManifest
+      else LakeTable.defaultBucketsPerManifest(numBuckets)
     val fields = schema.fields.zipWithIndex.map { case (f, i) => FieldDef(i + 1, f.name, f.dataType.sql) }
-    val snap = Snapshot(0L, 0, Map(0 -> fields.toSeq), numBuckets, Nil, props)
+    val snap = Snapshot(0L, 0, Map(0 -> fields.toSeq), numBuckets, bpm, Nil, props)
     fs.mkdirs(dataDir)
     writeSnapshot(snap)
     snap
@@ -135,7 +192,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
   def read(version: Option[Long] = None): DataFrame = {
     val snap = version.map(snapshot).getOrElse(
       currentSnapshot.getOrElse(throw new IllegalStateException(s"no table at $root")))
-    readFiles(snap, snap.files)
+    readFiles(snap, allFiles(snap))
   }
 
   private[graft] def readFiles(snap: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
@@ -159,9 +216,16 @@ final class LakeTable(val root: String, spark: SparkSession) {
     }
   }
 
-  /** Files of the current snapshot belonging to the given buckets. */
+  /** Files of the snapshot belonging to the given buckets — reads ONLY the
+    * manifests whose bucket range intersects `buckets` (partition pruning at
+    * the metadata level: a merge of k buckets opens ~k/bucketsPerManifest
+    * manifests, never the whole tree).
+    */
   def filesInBuckets(snap: Snapshot, buckets: Set[Int]): Seq[DataFileEntry] =
-    snap.files.filter(f => buckets.contains(f.bucket))
+    snap.manifests
+      .filter(m => buckets.exists(b => b >= m.loBucket && b < m.hiBucket))
+      .flatMap(readManifest)
+      .filter(f => buckets.contains(f.bucket))
 
   // ---- write / commit ----------------------------------------------------
 
@@ -250,19 +314,39 @@ final class LakeTable(val root: String, spark: SparkSession) {
   private[graft] def dropStage(stage: Path): Unit = fs.delete(stage, true)
 
   /** Commit a new snapshot replacing all files in `replacedBuckets` with
-    * `newFiles`, merging `summaryUpdates` into the previous summary.
+    * `newFiles`, merging `summaryUpdates` into the previous summary (keys in
+    * `dropSummaryKeys` are removed — bounded-lineage pruning).
     * Single-writer (the streaming driver); the version-hint swap is atomic.
+    *
+    * Metadata cost: only manifests of bucket GROUPS touched by
+    * `replacedBuckets`/`newFiles` are read + rewritten; every other group's
+    * manifest is carried into the new snapshot by reference. At 10⁵ files a
+    * small batch commits a few KB of manifests + the manifest list, not the
+    * full file inventory.
     */
   def commit(
       replacedBuckets: Set[Int],
       newFiles: Seq[DataFileEntry],
-      summaryUpdates: Map[String, String]): Snapshot = {
+      summaryUpdates: Map[String, String],
+      dropSummaryKeys: Set[String] = Set.empty): Snapshot = {
     val prev = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
-    val kept = prev.files.filterNot(f => replacedBuckets.contains(f.bucket))
+    val touchedGroups =
+      (replacedBuckets.iterator ++ newFiles.iterator.map(_.bucket)).map(prev.groupOf).toSet
+    val newByGroup = newFiles.groupBy(f => prev.groupOf(f.bucket))
+    val prevByGroup = prev.manifests.map(m => m.loBucket / prev.bucketsPerManifest -> m).toMap
+    val untouched = prev.manifests.filterNot(m =>
+      touchedGroups.contains(m.loBucket / prev.bucketsPerManifest))
+    val rewritten = touchedGroups.toSeq.sorted.flatMap { g =>
+      val kept = prevByGroup.get(g).map(readManifest).getOrElse(Nil)
+        .filterNot(f => replacedBuckets.contains(f.bucket))
+      val files = kept ++ newByGroup.getOrElse(g, Nil)
+      if (files.isEmpty) None
+      else Some(writeManifest(g * prev.bucketsPerManifest, (g + 1) * prev.bucketsPerManifest, files))
+    }
     val snap = prev.copy(
       version = prev.version + 1,
-      files = kept ++ newFiles,
-      summary = prev.summary ++ summaryUpdates)
+      manifests = (untouched ++ rewritten).sortBy(_.loBucket),
+      summary = (prev.summary ++ summaryUpdates) -- dropSummaryKeys)
     writeSnapshot(snap)
     snap
   }
@@ -276,7 +360,11 @@ final class LakeTable(val root: String, spark: SparkSession) {
     */
   def compact(maxFilesPerBucket: Int = 4): Snapshot = {
     val snap = currentSnapshot.getOrElse(throw new IllegalStateException("create() first"))
-    val crowded = snap.files.groupBy(_.bucket).filter(_._2.size > maxFilesPerBucket).keySet
+    // manifest-list file counts prune the scan: only manifests that could
+    // hold a crowded bucket (count > max possible if evenly spread) are read
+    val candidates = snap.manifests.filter(_.fileCount > maxFilesPerBucket)
+    val crowded = candidates.flatMap(readManifest)
+      .groupBy(_.bucket).filter(_._2.size > maxFilesPerBucket).keySet
     if (crowded.isEmpty) return snap
     val keyCol = snap.currentSchema.head.name // field id 1 = bucket key
     val df = readFiles(snap, filesInBuckets(snap, crowded))
@@ -286,18 +374,27 @@ final class LakeTable(val root: String, spark: SparkSession) {
   }
 
   /** Drop snapshot metadata older than the last `keepLast` versions and
-    * delete data files no kept snapshot references (time travel window).
+    * delete data files AND manifest files no kept snapshot references (time
+    * travel window + GC of orphans from crashed commits).
     */
   def expireSnapshots(keepLast: Int = 3): Unit = {
     val cur = currentVersion.getOrElse(return)
     val f = fs
     val keepFrom = math.max(0L, cur - keepLast + 1)
     val kept = (keepFrom to cur).map(snapshot)
-    val referenced = kept.flatMap(_.files.map(_.path)).toSet
+    val keptManifests = kept.flatMap(_.manifests).distinctBy(_.path)
+    val referenced = keptManifests.flatMap(readManifest).map(_.path).toSet
     // delete unreferenced data files
     f.listStatus(dataDir).foreach { st =>
       val rel = s"data/${st.getPath.getName}"
       if (!referenced.contains(rel)) f.delete(st.getPath, false)
+    }
+    // delete unreferenced manifests (expired snapshots' and crash orphans)
+    val keptManifestNames = keptManifests.map(m => new Path(root, m.path).getName).toSet
+    f.listStatus(metaDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("m-") && !keptManifestNames.contains(name))
+        f.delete(st.getPath, false)
     }
     // delete expired snapshot json
     (0L until keepFrom).foreach { v =>
@@ -344,11 +441,38 @@ object LakeTable {
   def bucketExpr(numBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col("repo")), lit(numBuckets)).cast("int")
 
+  /** Default bucket-group width of one manifest: small tables get multiple
+    * groups (so the manifest machinery is exercised everywhere), huge tables
+    * cap at 64 buckets per manifest — 65,536 buckets → 1,024 manifest-list
+    * entries (~100 KB snapshot json), each manifest a few KB.
+    */
+  def defaultBucketsPerManifest(numBuckets: Int): Int =
+    math.max(1, math.min(64, numBuckets / 8))
+
+  def manifestToJson(files: Seq[DataFileEntry]): String = {
+    val n = mapper.createObjectNode()
+    val arr = n.putArray("files")
+    files.foreach { f =>
+      val fn = arr.addObject()
+      fn.put("path", f.path); fn.put("bucket", f.bucket)
+      fn.put("rows", f.rows); fn.put("schemaVersion", f.schemaVersion)
+    }
+    mapper.writeValueAsString(n)
+  }
+
+  def manifestFromJson(json: String): Seq[DataFileEntry] =
+    mapper.readTree(json).get("files").asInstanceOf[ArrayNode].asScala.map { fn =>
+      DataFileEntry(fn.get("path").asText(), fn.get("bucket").asInt(),
+        fn.get("rows").asLong(), fn.get("schemaVersion").asInt())
+    }.toSeq
+
   def snapshotToJson(s: Snapshot): String = {
     val n = mapper.createObjectNode()
+    n.put("formatVersion", 2)
     n.put("version", s.version)
     n.put("schemaVersion", s.schemaVersion)
     n.put("numBuckets", s.numBuckets)
+    n.put("bucketsPerManifest", s.bucketsPerManifest)
     val schemas = n.putObject("schemas")
     s.schemas.toSeq.sortBy(_._1).foreach { case (sv, fields) =>
       val arr = schemas.putArray(sv.toString)
@@ -357,11 +481,11 @@ object LakeTable {
         fn.put("id", f.id); fn.put("name", f.name); fn.put("type", f.dataType)
       }
     }
-    val files = n.putArray("files")
-    s.files.foreach { f =>
-      val fn = files.addObject()
-      fn.put("path", f.path); fn.put("bucket", f.bucket)
-      fn.put("rows", f.rows); fn.put("schemaVersion", f.schemaVersion)
+    val manifests = n.putArray("manifests")
+    s.manifests.foreach { m =>
+      val mn = manifests.addObject()
+      mn.put("path", m.path); mn.put("lo", m.loBucket)
+      mn.put("hi", m.hiBucket); mn.put("fileCount", m.fileCount)
     }
     val sum = n.putObject("summary")
     s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sum.put(k, v) }
@@ -376,12 +500,12 @@ object LakeTable {
       }.toSeq
       e.getKey.toInt -> fields
     }.toMap
-    val files = n.get("files").asInstanceOf[ArrayNode].asScala.map { fn =>
-      DataFileEntry(fn.get("path").asText(), fn.get("bucket").asInt(),
-        fn.get("rows").asLong(), fn.get("schemaVersion").asInt())
+    val manifests = n.get("manifests").asInstanceOf[ArrayNode].asScala.map { mn =>
+      ManifestEntry(mn.get("path").asText(), mn.get("lo").asInt(),
+        mn.get("hi").asInt(), mn.get("fileCount").asInt())
     }.toSeq
     val summary = n.get("summary").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     Snapshot(n.get("version").asLong(), n.get("schemaVersion").asInt(), schemas,
-      n.get("numBuckets").asInt(), files, summary)
+      n.get("numBuckets").asInt(), n.get("bucketsPerManifest").asInt(), manifests, summary)
   }
 }

@@ -128,6 +128,24 @@ object CdcStream {
       .write.mode("append").parquet(s"$tableRoot/metrics")
   }
 
+  /** Reconstruct a skipped-replay batch's metrics rows from the committed
+    * snapshot's `lineage:b<N>` summary entry, iff they are missing. Writing
+    * only-when-missing keeps the sidecar's row VALUES deterministic (no
+    * duplicate with a different wall_ms for the reader's dedup to pick
+    * arbitrarily). Lineage is pruned to a trailing window, but a replayed
+    * batch is by construction the newest — always inside the window.
+    */
+  private[graft] def backfillMetrics(spark: SparkSession, tableRoot: String,
+      table: LakeTable, batchId: Long): Unit = {
+    val lineage = table.summaryValue(s"lineage:b$batchId").getOrElse(return)
+    val (wallMs, version, stats) = CdcApply.lineageStats(lineage)
+    if (stats.isEmpty) return
+    val present = scala.util.Try(
+      readMetrics(spark, tableRoot).filter(s"batch_id = $batchId").limit(1).count() > 0
+    ).getOrElse(false)
+    if (!present) writeMetrics(spark, tableRoot, batchId, stats, wallMs, version)
+  }
+
   /** Read the metrics table (one row per batch × shard). Deduplicated on the
     * natural key: a crash inside a sidecar fold (between promoting the
     * folded file and deleting its inputs) can leave the same rows in two
@@ -248,6 +266,13 @@ object CdcStream {
           rc.compactEvery.foreach { k =>
             if (k > 0 && batchId % k == k - 1) table.compact(rc.maxFilesPerBucket)
           }
+        } else {
+          // replay-skip after a crash BETWEEN snapshot commit and metrics
+          // append: the batch's data and cursors are committed but its
+          // metrics row may never have been written. Heal from the committed
+          // snapshot's lineage (which carries per-shard stats + apply wall)
+          // so metrics stay exactly-once-per-batch across that crash window.
+          backfillMetrics(spark, rc.tableRoot, table, batchId)
         }
         ()
       }

@@ -71,6 +71,22 @@ class ReplayParitySpec extends AnyFunSuite with SparkSupport {
     // cursors committed transactionally with the data
     val cur = t.summaryValue("cursors")
     assert(cur.exists(_.contains("MySQL56/")))
+
+    // lineage carries per-shard stats (metrics backfill source) and is pruned
+    // to a trailing window: a commit at batch 100 drops lineage:b1/b2
+    // (1, 2 ≤ 100 - lineageKeep) — the summary map stays O(1) over a
+    // stream's lifetime, never O(batches)
+    // (event_seq is per-shard, so b2 above is empty — b1 carries the stats)
+    assert(t.summaryValue("lineage:b1").exists(_.contains("\"shards\"")))
+    val (wallMs, ver, stats) = CdcApply.lineageStats(t.summaryValue("lineage:b1").get)
+    assert(ver == 1L && stats.nonEmpty && wallMs >= 0)
+    assert(stats.values.map(_.rows).sum > 0)
+    val r3 = CdcApply.applyBatch(t, b2.limit(0), batchId = 100L)
+    assert(!r3.skipped)
+    val keys = t.currentSnapshot.get.summary.keySet
+    assert(!keys.contains("lineage:b1") && !keys.contains("lineage:b2"),
+      "old lineage keys must be pruned from the summary")
+    assert(keys.contains("lineage:b100"))
     all.unpersist()
   }
 

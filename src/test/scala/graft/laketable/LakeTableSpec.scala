@@ -35,10 +35,10 @@ class LakeTableSpec extends AnyFunSuite with SparkSupport {
     val files = t.writeDataFiles(df, 0)
     t.commit(Set.empty, files, Map.empty)
     val snap = t.currentSnapshot.get
-    val bucketsPresent = snap.files.map(_.bucket).toSet
+    val bucketsPresent = t.allFiles(snap).map(_.bucket).toSet
     val victim = bucketsPresent.head
     // replace victim bucket with nothing → its rows disappear, others remain
-    val expectRemaining = t.readFiles(snap, snap.files.filterNot(_.bucket == victim)).count()
+    val expectRemaining = t.readFiles(snap, t.allFiles(snap).filterNot(_.bucket == victim)).count()
     t.commit(Set(victim), Nil, Map.empty)
     assert(t.read().count() == expectRemaining)
   }
@@ -91,13 +91,13 @@ class LakeTableSpec extends AnyFunSuite with SparkSupport {
       t.commit(Set.empty, f, Map.empty)
     }
     val before = t.read().orderBy("repo", "path").collect().toSeq
-    val filesBefore = t.currentSnapshot.get.files.size
+    val filesBefore = t.currentSnapshot.get.fileCount
     t.compact(maxFilesPerBucket = 2)
     val after = t.read().orderBy("repo", "path").collect().toSeq
     assert(after == before, "compaction changed table contents")
     val snap = t.currentSnapshot.get
-    assert(snap.files.size < filesBefore)
-    assert(snap.files.groupBy(_.bucket).values.forall(_.size <= 2))
+    assert(snap.fileCount < filesBefore)
+    assert(t.allFiles(snap).groupBy(_.bucket).values.forall(_.size <= 2))
     // compacting an already-tidy table is a no-op commit
     val v = t.currentVersion.get
     t.compact(maxFilesPerBucket = 2)
@@ -108,7 +108,7 @@ class LakeTableSpec extends AnyFunSuite with SparkSupport {
     val t = newTable()
     (1 to 5).foreach { i =>
       val f = t.writeDataFiles(someRows(5).withColumn("_bucket", LakeTable.bucketExpr(4)), 0)
-      t.commit(if (i > 1) t.currentSnapshot.get.files.map(_.bucket).toSet else Set.empty,
+      t.commit(if (i > 1) t.allFiles(t.currentSnapshot.get).map(_.bucket).toSet else Set.empty,
         f, Map.empty) // replace everything each time → old files orphan fast
     }
     val cur = t.currentVersion.get

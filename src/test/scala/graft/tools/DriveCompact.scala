@@ -15,8 +15,8 @@ object DriveCompact {
     CdcStream.runAvailableNow(spark, CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
       maxEventsPerTrigger = Some(1000L), compactEvery = Some(4), maxFilesPerBucket = 3))
     val snap = t.currentSnapshot.get
-    val perBucket = snap.files.groupBy(_.bucket).map(_._2.size)
-    println(s"FILES total=${snap.files.size} maxPerBucket=${perBucket.max} version=${snap.version} rows=${t.read().count()}")
+    val perBucket = t.allFiles(snap).groupBy(_.bucket).map(_._2.size)
+    println(s"FILES total=${snap.fileCount} maxPerBucket=${perBucket.max} version=${snap.version} rows=${t.read().count()}")
     t.expireSnapshots(keepLast = 2)
     println("EXPIRED ok currentRows=" + t.read().count())
     spark.stop()

@@ -76,7 +76,7 @@ object DriveSoak {
       // bounded files: data (compaction) + metrics (tiered folds)
       val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      val dataFiles = t.currentSnapshot.get.files.size
+      val dataFiles = t.currentSnapshot.get.fileCount
       val metricsFiles = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$base/t/metrics")).length
       println(s"soak: data files=$dataFiles metrics files=$metricsFiles " +
