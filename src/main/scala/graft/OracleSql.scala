@@ -352,10 +352,16 @@ object OracleSql {
          (1, true, 'true', '1'),(2, true, 'true', '2'),(-1, true, 'true', '-1'))
          AS t(v, b, as_bool, opted_out)""",
 
+    // '0000-00-00 11:22:33' is NOT an exact zero-date: the reference's
+    // time.Parse fails (month 0) and the value passes through UNCHANGED
+    // (types.go:309-315 matches exactly, never by prefix); its date-part
+    // substring '0000-00-00' still IS a zero-date → epoch
     "norm_datetime" ->
       """SELECT * FROM (VALUES
          ('2021-03-04 05:06:07','2021-03-04T05:06:07.000000','2021-03-04'),
          ('0000-00-00 00:00:00','1970-01-01T00:00:00.000000','1970-01-01'),
+         ('0000-00-00 11:22:33','0000-00-00 11:22:33','1970-01-01'),
+         ('0000-00-00','1970-01-01T00:00:00.000000','1970-01-01'),
          ('1999-12-31 23:59:59','1999-12-31T23:59:59.000000','1999-12-31')) AS t(v, iso, d)""",
 
     // TIMESTAMP renders WITH the +00:00 offset; TIME takes the default branch
@@ -364,6 +370,7 @@ object OracleSql {
       """SELECT * FROM (VALUES
          ('2025-02-14 08:08:08','2025-02-14T08:08:08.000000+00:00'),
          ('0000-00-00 00:00:00','1970-01-01T00:00:00.000000+00:00'),
+         ('0000-00-00 11:22:33','0000-00-00 11:22:33'),
          ('1999-12-31 23:59:59','1999-12-31T23:59:59.000000+00:00'),
          ('not-a-time','not-a-time')) AS t(v, iso_tz)""",
 

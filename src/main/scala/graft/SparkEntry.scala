@@ -295,7 +295,12 @@ object SparkEntry {
 
   private def normDatetime(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Seq("2021-03-04 05:06:07", "0000-00-00 00:00:00", "1999-12-31 23:59:59")
+    // "0000-00-00 11:22:33": NOT the exact zero-date spelling — the
+    // reference's time.Parse fails on month 0 and the value passes through
+    // unchanged (types.go:309-315 matches exactly, never by prefix); bare
+    // "0000-00-00" IS a zero-date even under a DATETIME column
+    Seq("2021-03-04 05:06:07", "0000-00-00 00:00:00", "0000-00-00 11:22:33",
+      "0000-00-00", "1999-12-31 23:59:59")
       .toDF("v")
       .select(col("v"), N.isoDatetime(col("v")).as("iso"),
         N.isoDate(substring(col("v"), 1, 10)).as("d"))
@@ -303,7 +308,8 @@ object SparkEntry {
 
   private def normTimestampTz(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Seq("2025-02-14 08:08:08", "0000-00-00 00:00:00", "1999-12-31 23:59:59", "not-a-time")
+    Seq("2025-02-14 08:08:08", "0000-00-00 00:00:00", "0000-00-00 11:22:33",
+      "1999-12-31 23:59:59", "not-a-time")
       .toDF("v")
       .select(col("v"), N.isoTimestampTz(col("v")).as("iso_tz"))
   }

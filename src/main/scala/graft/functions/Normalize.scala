@@ -69,12 +69,22 @@ object Normalize {
   def tinyint(c: Column, treatAsBoolean: Boolean): Column =
     if (treatAsBoolean) tinyintBool(c).cast("string") else c.cast("long").cast("string")
 
+  /** The two EXACT zero-date spellings the reference maps to epoch
+    * (`types.go:309-315`). Exact equality, NOT a prefix: a value like
+    * `"0000-00-00 11:22:33"` fails the reference's `time.Parse` (month 0)
+    * and passes through UNCHANGED — a prefix match would wrongly land it as
+    * epoch. The check is layout-independent: a bare `0000-00-00` under a
+    * DATETIME column (or the full spelling under DATE) still hits it.
+    */
+  private def isZeroDate(c: Column): Column =
+    c === "0000-00-00 00:00:00" || c === "0000-00-00"
+
   /** DATETIME string → ISO-8601 without offset, microsecond precision;
     * MySQL zero-dates map to the Unix epoch; an unparseable value falls back
     * to the ORIGINAL (reference `formatISO8601`, `types.go:274-332`).
     */
   def isoDatetime(c: Column): Column =
-    when(c.startsWith("0000-00-00"), lit("1970-01-01T00:00:00.000000"))
+    when(isZeroDate(c), lit("1970-01-01T00:00:00.000000"))
       .otherwise(coalesce(
         // optional-fraction section: datetime(1..6) wire values parse too
         // (Go's time.Parse accepts fractional seconds even when the layout
@@ -84,7 +94,7 @@ object Normalize {
 
   /** DATE string → yyyy-MM-dd; zero-date → epoch date; fallback original. */
   def isoDate(c: Column): Column =
-    when(c === "0000-00-00", lit("1970-01-01"))
+    when(isZeroDate(c), lit("1970-01-01"))
       .otherwise(coalesce(
         date_format(try_to_timestamp(c, lit("yyyy-MM-dd")), "yyyy-MM-dd"), c))
 
@@ -93,7 +103,7 @@ object Normalize {
     * zero-date → epoch; unparseable → original.
     */
   def isoTimestampTz(c: Column): Column =
-    when(c.startsWith("0000-00-00"), lit("1970-01-01T00:00:00.000000+00:00"))
+    when(isZeroDate(c), lit("1970-01-01T00:00:00.000000+00:00"))
       .otherwise(coalesce(
         date_format(try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss[.SSSSSS]")),
           "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"), c))

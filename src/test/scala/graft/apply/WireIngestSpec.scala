@@ -61,7 +61,11 @@ class WireIngestSpec extends AnyFunSuite with SparkSupport {
       // already-mapped label + comma-joined set pass through unchanged
       ("r1", "p2", "active", "San Francisco,Oakland", "0", "0000-00-00 00:00:00", "-.77", "7"),
       // out-of-range enum index → ORIGINAL; zero set mask → ORIGINAL
-      ("r2", "p3", "9", "0", "2", "1999-12-31 23:59:59", "12.5", "0")))
+      ("r2", "p3", "9", "0", "2", "1999-12-31 23:59:59", "12.5", "0"),
+      // mixed zero-date "0000-00-00 11:22:33" is NOT exact (types.go:309-315)
+      // → normalizes to itself; the TIMESTAMP_NTZ landing can't hold the
+      // original string, so it lands NULL (values lands-null contract)
+      ("r2", "p4", "2", "1", "0", "0000-00-00 11:22:33", "1.0", "1")))
     val got = table.read()
       .select(col("repo"), col("path"), col("status"), col("locations"), col("verified"),
         date_format(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("iso"),
@@ -73,7 +77,9 @@ class WireIngestSpec extends AnyFunSuite with SparkSupport {
       Row("r1", "p2", "active", "San Francisco,Oakland", false,
         "1970-01-01T00:00:00.000000", -77L, 7L),
       Row("r2", "p3", "9", "0", true,
-        "1999-12-31T23:59:59.000000", 1250L, 0L)))
+        "1999-12-31T23:59:59.000000", 1250L, 0L),
+      Row("r2", "p4", "inactive", "San Francisco", false,
+        null, 100L, 1L)))
     // typed landing schema, not strings
     val types = table.read().schema.fields.map(f => f.name -> f.dataType.sql).toMap
     assert(types("verified") == "BOOLEAN" && types("created_at") == "TIMESTAMP_NTZ" &&

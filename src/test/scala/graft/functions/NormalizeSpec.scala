@@ -44,8 +44,14 @@ class NormalizeSpec extends AnyFunSuite with SparkSupport {
     def d(v: String) = one(Seq(v).toDF("v").select(Normalize.isoDatetime($"v")))
     assert(d("2021-03-04 05:06:07") == "2021-03-04T05:06:07.000000")
     assert(d("0000-00-00 00:00:00") == "1970-01-01T00:00:00.000000")
+    // EXACT match only (types.go:309-315): a zero DATE with a nonzero time
+    // is NOT a zero-date — time.Parse fails on month 0 → original unchanged
+    assert(d("0000-00-00 11:22:33") == "0000-00-00 11:22:33")
+    // ...but the check is layout-independent: bare 0000-00-00 under DATETIME
+    assert(d("0000-00-00") == "1970-01-01T00:00:00.000000")
     def dd(v: String) = one(Seq(v).toDF("v").select(Normalize.isoDate($"v")))
     assert(dd("0000-00-00") == "1970-01-01")
+    assert(dd("0000-00-00 00:00:00") == "1970-01-01") // full spelling under DATE
     assert(dd("2021-03-04") == "2021-03-04")
   }
 
@@ -54,6 +60,7 @@ class NormalizeSpec extends AnyFunSuite with SparkSupport {
     def ts(v: String) = one(Seq(v).toDF("v").select(Normalize.isoTimestampTz($"v")))
     assert(ts("2025-02-14 08:08:08") == "2025-02-14T08:08:08.000000+00:00")
     assert(ts("0000-00-00 00:00:00") == "1970-01-01T00:00:00.000000+00:00")
+    assert(ts("0000-00-00 11:22:33") == "0000-00-00 11:22:33") // not exact → original
     assert(ts("garbage") == "garbage") // unparseable → original (formatISO8601 fallback)
     def t(v: String) = one(Seq(v).toDF("v").select(Normalize.isoTime($"v")))
     assert(t("08:08:08") == "08:08:08")
