@@ -69,7 +69,7 @@ object Main {
     verb match {
       case "spec" =>
         println(
-          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"}}}}""")
+          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"}}}}""")
 
       case "check" =>
         val spark = session()
@@ -207,7 +207,10 @@ object Main {
                 useRdonly = o.get("use_rdonly").exists(_.toBoolean),
                 replicaLagEvents = o.getOrElse("replica_lag", "0").toLong,
                 includeMetadata = o.get("include_metadata").exists(_.toBoolean),
-                wirePayload = o.get("wire").exists(_.toBoolean))
+                wirePayload = o.get("wire").exists(_.toBoolean),
+                // --sync_shards: the reference's `shards` config (comma-
+                // separated shard names; --shards is the genlog COUNT flag)
+                shardSubset = o.get("sync_shards"))
               val t0 = System.nanoTime()
               val batches = CdcStream.runAvailableNow(spark, rc)
               val secs = (System.nanoTime() - t0) / 1e9

@@ -450,6 +450,13 @@ object OracleSql {
       """SELECT * FROM (VALUES ('-20',true),('20-40',false),('40-60',false),('60-80',true),
          ('80-a0',false),('a0-c0',false),('c0-e0',false),('e0-',true)) AS t(shard, selected)""",
 
+    // configured " -20 ,60-80,,e0-," → trim-after-skip-blank selects
+    // indexes {0,3,7} of the 8 live shards (planetscale_connection.go:66-83)
+    "shard_subset" ->
+      """SELECT * FROM (VALUES ('-20',0,true),('20-40',1,false),('40-60',2,false),
+         ('60-80',3,true),('80-a0',4,false),('a0-c0',5,false),('c0-e0',6,false),
+         ('e0-',7,true)) AS t(shard, idx, selected)""",
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
          FROM documents GROUP BY 1""",

@@ -538,6 +538,20 @@ object SparkEntry {
       .select(col("shard"), col("shard").isin(configured.toSeq: _*).as("selected"))
   }
 
+  /** A12: the source's ACTUAL shard-subset parser (reference `shards` config,
+    * `planetscale_connection.go:66-83`) — whitespace-padded and blank entries
+    * exercise the reference's skip-then-trim order; the selected index set is
+    * what `planInputPartitions` scopes to.
+    */
+  private def shardSubset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val live = ChangelogGen.shardNames(8)
+    val picked = graft.streaming.ChangelogSource
+      .parseShardSubset(" -20 ,60-80,,e0-,", 8).toSet
+    live.zipWithIndex.toDF("shard", "idx")
+      .select(col("shard"), col("idx"), col("idx").isin(picked.toSeq: _*).as("selected"))
+  }
+
   // --------------------------------------------------------------------- //
   // Training-data pipeline ops (documents / embeddings)
   // --------------------------------------------------------------------- //
@@ -802,6 +816,7 @@ object SparkEntry {
     "catalog_sync_modes" -> catalogSyncModes,
     "catalog_evolution" -> catalogEvolution,
     "shard_enum" -> shardEnum,
+    "shard_subset" -> shardSubset,
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,

@@ -43,7 +43,11 @@ object CdcStream {
       includeMetadata: Boolean = false,
       // wire-typed stream: the source serves raw MySQL wire strings
       // (repo_profile) and applyBatch normalizes them inside staging
-      wirePayload: Boolean = false)
+      wirePayload: Boolean = false,
+      // reference `shards` config (spec.json:23-28): comma-separated shard
+      // names to sync; None = all shards. Validated against live shards by
+      // the source (unknown name fails loud).
+      shardSubset: Option[String] = None)
 
   private def startingGtidsJson(g: Map[String, Map[String, String]]): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -99,6 +103,7 @@ object CdcStream {
       "rowsPerPartition" -> rc.rowsPerPartition.toString) ++
       rc.maxEventsPerTrigger.map("maxEventsPerTrigger" -> _.toString) ++
       rc.endSeq.map("endSeq" -> _.toString) ++
+      rc.shardSubset.map("shards" -> _) ++
       (if (rc.wirePayload) Map("wirePayload" -> "true") else Map.empty) ++
       (if (rc.useReplica) Map("useReplica" -> "true") else Map.empty) ++
       (if (rc.useRdonly) Map("useRdonly" -> "true") else Map.empty) ++

@@ -65,7 +65,29 @@ object ChangelogSource {
       startingPks: Map[String, (String, String)],
       tabletType: String,
       replicaLagEvents: Long,
-      wirePayload: Boolean)
+      wirePayload: Boolean,
+      // shard-subset selection (reference `shards` config): the validated
+      // shard indexes this source tails; all shards when unconfigured
+      selectedShards: Seq[Int])
+
+  /** The reference's `shards` option (`spec.json:23-28`, validation
+    * `planetscale_connection.go:66-83`): a comma-separated list of shard
+    * names to sync; blank entries skipped, names trimmed, every configured
+    * name validated against the LIVE shard set — an unknown shard fails
+    * loud with the reference's error, and a valid subset REPLACES the full
+    * enumeration (offsets, cursors, and partition planning all scope to it).
+    */
+  private[graft] def parseShardSubset(configured: String, numShards: Int): Seq[Int] = {
+    val live = (0 until numShards).map(i => EventGen.shardName(numShards, i) -> i).toMap
+    val picked = configured.split(",").toSeq
+      .filter(_.nonEmpty).map(_.trim) // reference order: skip-blank, then trim
+      .map { name =>
+        live.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"shard $name does not exist on the source database"))
+      }
+    picked.distinct.sorted
+  }
 
   /** `startingGtids` option: the reference's `starting_gtids` JSON
     * (`{"<keyspace>": {"<shard>": "<gtid>"}}`, README.md:160-197) — entries
@@ -116,7 +138,10 @@ object ChangelogSource {
         else if (opts.get("useReplica").exists(_.toBoolean)) "replica"
         else "primary",
       replicaLagEvents = l("replicaLagEvents", 0L),
-      wirePayload = opts.get("wirePayload").exists(_.toBoolean))
+      wirePayload = opts.get("wirePayload").exists(_.toBoolean),
+      selectedShards = opts.get("shards").filter(_.trim.nonEmpty)
+        .map(parseShardSubset(_, i("numShards", 4)))
+        .getOrElse(0 until i("numShards", 4)))
   }
 }
 
@@ -173,7 +198,7 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
   }
 
   private def fullHead: ChangelogOffset =
-    ChangelogOffset((0 until c.numShards).map(i => i -> head(i)).toMap)
+    ChangelogOffset(opts.selectedShards.map(i => i -> head(i)).toMap)
 
   @volatile private var availableNowHead: Option[ChangelogOffset] = None
 
@@ -185,7 +210,7 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
     * offset — state beats starting_gtids.
     */
   override def initialOffset(): Offset =
-    ChangelogOffset((0 until c.numShards).map { i =>
+    ChangelogOffset(opts.selectedShards.map { i =>
       val shard = EventGen.shardName(c.numShards, i)
       val pos = opts.startingPks.get(shard) match {
         case Some((repo, path)) => EventGen.positionForPk(i, repo, path, c)
@@ -219,8 +244,8 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
     }
     if (maxRows == Long.MaxValue) ChangelogOffset(target)
     else {
-      // spread the row budget across shards (MinimizeSkew analogue)
-      val perShard = math.max(1L, maxRows / c.numShards)
+      // spread the row budget across the SELECTED shards (MinimizeSkew analogue)
+      val perShard = math.max(1L, maxRows / math.max(1, opts.selectedShards.size))
       ChangelogOffset(target.map { case (s, t) =>
         s -> math.min(t, from.getOrElse(s, 0L) + perShard)
       })
@@ -230,7 +255,7 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[ChangelogOffset].positions
     val to = end.asInstanceOf[ChangelogOffset].positions
-    ChangelogPlanner.plan(c, from, to, opts.rowsPerPartition)
+    ChangelogPlanner.plan(c, opts.selectedShards, from, to, opts.rowsPerPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -244,9 +269,9 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
 class ChangelogBatch(opts: ChangelogSource.SourceOptions) extends Batch {
   private val c = opts.gen
   override def planInputPartitions(): Array[InputPartition] = {
-    val from = (0 until c.numShards).map(_ -> 0L).toMap
-    val to = (0 until c.numShards).map(i => i -> EventGen.totalPerShard(i, c)).toMap
-    ChangelogPlanner.plan(c, from, to, opts.rowsPerPartition)
+    val from = opts.selectedShards.map(_ -> 0L).toMap
+    val to = opts.selectedShards.map(i => i -> EventGen.totalPerShard(i, c)).toMap
+    ChangelogPlanner.plan(c, opts.selectedShards, from, to, opts.rowsPerPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangelogReaderFactory(c, opts.wirePayload)
@@ -256,9 +281,9 @@ object ChangelogPlanner {
   /** One partition per shard-chunk: shard-level parallelism (A12/A20) plus
     * chunking so a big catch-up doesn't serialize into one long task.
     */
-  def plan(c: GenConfig, from: Map[Int, Long], to: Map[Int, Long],
+  def plan(c: GenConfig, shards: Seq[Int], from: Map[Int, Long], to: Map[Int, Long],
       rowsPerPartition: Long): Array[InputPartition] =
-    (0 until c.numShards).flatMap { s =>
+    shards.flatMap { s =>
       val f = from.getOrElse(s, 0L)
       val t = to.getOrElse(s, 0L)
       if (t <= f) Nil

@@ -75,6 +75,53 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assert(t.currentVersion.contains(v))
   }
 
+  test("shard-subset sync (reference `shards` config): only configured shards " +
+    "are tailed; cursors scope to them; resume stays scoped; unknown fails loud") {
+    val c = GenConfig(numEvents = 8000L, numShards = 4, numRepos = 30, pathsPerRepo = 20)
+    val names = ChangelogGen.shardNames(4) // -40, 40-80, 80-c0, c0-
+    val base = tmpDir("subset")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+
+    // whitespace-padded + blank entry exercise the reference's trim/skip
+    val rc1 = CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
+      maxEventsPerTrigger = Some(1500L), endSeq = Some(1200L),
+      shardSubset = Some(s" ${names(0)},${names(2)},"))
+    CdcStream.runAvailableNow(spark, rc1)
+    // resume on the same checkpoint to the full head — still subset-scoped
+    CdcStream.runAvailableNow(spark, rc1.copy(endSeq = None))
+
+    // oracle: LWW over ONLY the selected shards' events
+    val ev = ChangelogGen.changelog(spark, c)
+      .filter(col("shard").isin(names(0), names(2)))
+    val keyed = ev.withColumn("_r", coalesce(col("after.repo"), col("before.repo")))
+      .withColumn("_p", coalesce(col("after.path"), col("before.path")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_r", "_p").orderBy(col("event_seq").desc)
+    val want = keyed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("op") =!= "delete")
+      .select(col("after.repo"), col("after.path"), col("after.commit"),
+        col("after.lang"), col("after.content"))
+    assertParity(t, want)
+
+    // cursors: exactly the selected shards, positioned at their heads
+    val st = SyncState.fromJson(t.summaryValue("cursors").get)
+    val shards = st.streams(s"${c.keyspace}:repo_content")
+    assert(shards.keySet == Set(names(0), names(2)))
+    Seq(0, 2).foreach { i =>
+      assert(VGtid.rank(shards(names(i)).position) ==
+        EventGen.catchupPerShard(i, c) + EventGen.copyRankBase(c))
+    }
+
+    // unknown shard name → the reference's loud validation error
+    val bad = rc1.copy(checkpoint = s"$base/cp-bad", shardSubset = Some("-40,nope"))
+    val e = intercept[Exception](CdcStream.runAvailableNow(spark, bad))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null &&
+      m.contains("shard nope does not exist on the source database")), s"got: $e")
+  }
+
   test("metrics table: one row per (batch, shard) with vgtid range + rows") {
     val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
     val base = tmpDir("metrics")
