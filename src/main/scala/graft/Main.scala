@@ -62,6 +62,7 @@ object Main {
     numShards = o.getOrElse("shards", "4").toInt,
     numRepos = o.getOrElse("repos", "100").toInt,
     pathsPerRepo = o.getOrElse("paths", "50").toInt,
+    keyspace = o.getOrElse("keyspace", "ks"),
     copyRows = o.getOrElse("copyRows", "0").toLong)
 
   def main(args: Array[String]): Unit = {
@@ -69,7 +70,7 @@ object Main {
     verb match {
       case "spec" =>
         println(
-          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"}}}}""")
+          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"},"wire_columns":{"type":"string","description":"column-spec JSON file (same file discover --columns reads); the selected table's wire stream is ingested with typed landing"},"wire_table":{"type":"string","description":"table name to pick from --wire_columns (default: first table)"}}}}""")
 
       case "check" =>
         val spark = session()
@@ -160,8 +161,11 @@ object Main {
                   java.nio.file.Paths.get(path)), "UTF-8"))
               }.getOrElse(SyncState.empty)
               val t0 = System.nanoTime()
+              // per-stream dirs keyed namespace__name: same-named tables in
+              // different namespaces get distinct tables + checkpoints
+              def streamDir(s: graft.core.ConfiguredStream) = s"${s.namespace}__${s.name}"
               val batches = CdcStream.runCatalog(spark, catalog, s =>
-                CdcStream.RunConfig(genConfig(o), s"$root/${s.name}", s"$cp/${s.name}",
+                CdcStream.RunConfig(genConfig(o), s"$root/${streamDir(s)}", s"$cp/${streamDir(s)}",
                   maxEventsPerTrigger = o.get("maxPerTrigger").map(_.toLong),
                   parityMode = o.get("parity").exists(_.toBoolean),
                   startingGtids = startingGtids,
@@ -173,21 +177,40 @@ object Main {
                 maxConcurrentStreams = o.getOrElse("stream_concurrency", "4").toInt)
               val secs = (System.nanoTime() - t0) / 1e9
               val per = catalog.streams.map { s =>
-                val t = new LakeTable(s"$root/${s.name}", spark)
-                s"""{"stream":"${s.name}","sync_mode":"${s.syncMode}","batches":${batches(s.name)},"table_rows":${t.read().count()},"state":${t.summaryValue("cursors").getOrElse("{}")}}"""
+                val t = new LakeTable(s"$root/${streamDir(s)}", spark)
+                s"""{"stream":"${s.name}","namespace":"${s.namespace}","sync_mode":"${s.syncMode}","batches":${batches(s.stateKey)},"table_rows":${t.read().count()},"state":${t.summaryValue("cursors").getOrElse("{}")}}"""
               }.mkString(",")
               println(f"""{"type":"SYNC_SUMMARY","seconds":$secs%.1f,"streams":[$per]}""")
             case None =>
               val t = new LakeTable(root, spark)
+              // --wire_columns <spec.json> [--wire_table <name>]: discover
+              // output drives ingest (the reference's discover→read loop) —
+              // the SAME column-spec file `discover --columns` consumes
+              // selects the wire table; merge keys = its primary_keys
+              val wireTable = o.get("wire_columns").map { path =>
+                val spec = new String(java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(path)), "UTF-8")
+                val tables = graft.core.Discover.parseColumnSpec(spec)
+                require(tables.nonEmpty, s"no tables in $path")
+                val pick = o.get("wire_table")
+                  .map(n => tables.find(_.name == n).getOrElse(
+                    sys.error(s"table '$n' not found in $path " +
+                      s"(has: ${tables.map(_.name).mkString(", ")})")))
+                  .getOrElse(tables.head)
+                graft.core.WireTable(pick.name, pick.primaryKeys,
+                  pick.columns.map(c => graft.core.WireColumn(c.name, c.mysqlType, c.nullable)))
+              }
               // --include_metadata: land the _graft_* provenance columns
               // (reference include_metadata, spec.json:63 +
               // planetscale_edge_database.go:560-574); --wire: the source
               // serves raw wire strings, the table lands the normalized
               // TYPED repo_profile schema; the two COMPOSE
               if (t.currentVersion.isEmpty) t.create(
-                ChangeEvent.landingSchemaFor(
-                  wirePayload = o.get("wire").exists(_.toBoolean),
-                  includeMetadata = o.get("include_metadata").exists(_.toBoolean)),
+                wireTable.map(wt => ChangeEvent.landingSchemaFor(wt,
+                    includeMetadata = o.get("include_metadata").exists(_.toBoolean)))
+                  .getOrElse(ChangeEvent.landingSchemaFor(
+                    wirePayload = o.get("wire").exists(_.toBoolean),
+                    includeMetadata = o.get("include_metadata").exists(_.toBoolean))),
                 numBuckets = o.getOrElse("buckets", "64").toInt)
               // --state <file>: SyncState JSON (the reference's state file);
               // per-shard cursors resume the stream, PK watermarks resume the
@@ -207,10 +230,12 @@ object Main {
                 useRdonly = o.get("use_rdonly").exists(_.toBoolean),
                 replicaLagEvents = o.getOrElse("replica_lag", "0").toLong,
                 includeMetadata = o.get("include_metadata").exists(_.toBoolean),
-                wirePayload = o.get("wire").exists(_.toBoolean),
+                wirePayload = o.get("wire").exists(_.toBoolean) || wireTable.nonEmpty,
                 // --sync_shards: the reference's `shards` config (comma-
                 // separated shard names; --shards is the genlog COUNT flag)
-                shardSubset = o.get("sync_shards"))
+                shardSubset = o.get("sync_shards"),
+                wireTable = wireTable,
+                streamName = wireTable.map(_.name).getOrElse("repo_content"))
               val t0 = System.nanoTime()
               val batches = CdcStream.runAvailableNow(spark, rc)
               val secs = (System.nanoTime() - t0) / 1e9

@@ -74,6 +74,15 @@ object ChangeEvent {
     if (includeMetadata) StructType(base.fields ++ metaFields) else base
   }
 
+  /** Landing schema for an ARBITRARY wire table (discover→read loop):
+    * the table's typed landing, optionally with the `_graft_*` provenance
+    * columns appended — same composition rule as the flag form above.
+    */
+  def landingSchemaFor(wt: WireTable, includeMetadata: Boolean): StructType = {
+    val base = wt.spec.landingSchema
+    if (includeMetadata) StructType(base.fields ++ metaFields) else base
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("keyspace", StringType, nullable = false),
     StructField("shard", StringType, nullable = false),

@@ -31,14 +31,20 @@ object Discover {
 
   def parseColumnSpec(json: String): Seq[DiscoveredTable] = {
     val root = mapper.readTree(json)
+    def req(n: com.fasterxml.jackson.databind.JsonNode, field: String, where: String): String =
+      Option(n.get(field)).map(_.asText()).getOrElse(
+        throw new IllegalArgumentException(
+          s"column-spec $where is missing required field '$field'"))
     Option(root.get("tables")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { t =>
+      val tname = req(t, "name", "table entry")
       val cols = Option(t.get("columns")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { c =>
-        DiscoveredColumn(c.get("name").asText(), c.get("type").asText(),
+        DiscoveredColumn(req(c, "name", s"column of table '$tname'"),
+          req(c, "type", s"column of table '$tname'"),
           Option(c.get("nullable")).map(_.asText()).getOrElse("YES"))
       }
       val pks = Option(t.get("primary_keys")).map(_.elements().asScala.toSeq.map(_.asText()))
         .getOrElse(Nil)
-      DiscoveredTable(t.get("name").asText(), pks, cols)
+      DiscoveredTable(tname, pks, cols)
     }
   }
 

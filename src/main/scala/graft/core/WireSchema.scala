@@ -43,6 +43,56 @@ object WireTableSpec {
     WireColumn("stars", "bigint")))
 }
 
+/** A fully-described wire-typed source table: name + merge-key columns +
+  * column triples — exactly one `tables[]` entry of a `discover --columns`
+  * spec, so DISCOVERY OUTPUT DRIVES INGEST (the reference's discover→read
+  * loop: `GetTableSchema` feeds the sync's `parseValue` dispatch). Key
+  * columns are reordered to the FRONT of the column list (the engine's merge
+  * key = leading field ids 1..k); the rest keep information_schema order.
+  */
+final case class WireTable(name: String, keys: Seq[String], columns: Seq[WireColumn]) {
+  require(keys.nonEmpty, s"table $name: at least one primary-key column required")
+  keys.foreach(k => require(columns.exists(_.name == k),
+    s"table $name: primary key '$k' is not a column"))
+
+  /** Columns with the merge keys first (landing field ids 1..k = keys). */
+  def orderedColumns: Seq[WireColumn] =
+    keys.map(k => columns.find(_.name == k).get) ++ columns.filterNot(c => keys.contains(c.name))
+
+  def spec: WireTableSpec = WireTableSpec(orderedColumns)
+
+  def toJson: String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = m.createObjectNode()
+    n.put("name", name)
+    val ks = n.putArray("primary_keys"); keys.foreach(ks.add)
+    val cs = n.putArray("columns")
+    columns.foreach { c =>
+      val cn = cs.addObject()
+      cn.put("name", c.name); cn.put("type", c.mysqlType); cn.put("nullable", c.nullable)
+    }
+    m.writeValueAsString(n)
+  }
+}
+
+object WireTable {
+  import scala.jdk.CollectionConverters._
+  def fromJson(json: String): WireTable = {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val cols = Option(n.get("columns")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { c =>
+      WireColumn(
+        Option(c.get("name")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("column entry missing 'name'")),
+        Option(c.get("type")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("column entry missing 'type'")),
+        Option(c.get("nullable")).map(_.asText()).getOrElse("YES"))
+    }
+    val keys = Option(n.get("primary_keys")).map(_.elements().asScala.toSeq.map(_.asText()))
+      .getOrElse(Nil)
+    WireTable(Option(n.get("name")).map(_.asText()).getOrElse("wire_table"), keys, cols)
+  }
+}
+
 final case class WireTableSpec(
     columns: Seq[WireColumn],
     treatTinyIntAsBoolean: Boolean = true) {

@@ -74,6 +74,77 @@ object WireGen {
       stars = pick(h, 1000, 8).toString)
   }
 
+  // ---- arbitrary-table wire generation (discover → read loop) -----------
+
+  private def numericKeyType(ty: String): Boolean = {
+    val t = ty.toLowerCase
+    Seq("tinyint", "smallint", "mediumint", "int", "bigint").exists(t.startsWith)
+  }
+
+  /** Merge-key wire values for an arbitrary table, derived INJECTIVELY from
+    * the underlying event identity (repo, path) so LWW/delete semantics and
+    * final-state cardinality are preserved for any key shape:
+    * 2+ keys → (repo, path, const…); a single NUMERIC key → the dense
+    * (repoIdx, pathIdx) ordinal; a single string key → "repo/path".
+    */
+  def keyValues(keys: Seq[graft.core.WireColumn], repo: String, path: String,
+      pathIdxOf: String => Int, pathsPerRepo: Int): Seq[String] = {
+    def repoIdx = repo.stripPrefix("repo-").toInt
+    keys match {
+      case Seq(k) if numericKeyType(k.mysqlType) =>
+        Seq((repoIdx.toLong * pathsPerRepo + pathIdxOf(path) + 1L).toString)
+      case Seq(_) => Seq(s"$repo/$path")
+      case more   => Seq(repo, path) ++ more.drop(2).map(_ => "1")
+    }
+  }
+
+  /** One deterministic wire-string value for a MySQL column type — the same
+    * closed-form style as the repo_profile stream (enum indexes, set
+    * bitmasks, tinyint digits, zero/fractional datetimes, bare decimals),
+    * keyed on the column name so sibling columns differ.
+    */
+  def wireValueFor(col: graft.core.WireColumn, h0: Long): String = {
+    val ty = col.mysqlType.toLowerCase
+    val h = EventGen.mix64(h0 ^ col.name.hashCode.toLong)
+    if (ty.startsWith("enum")) {
+      val n = graft.core.TypeMap.parseEnumOrSetValues(col.mysqlType).size
+      pick(h, n + 2, 1).toString // 0 (empty) .. n+1 (out-of-range fallthrough)
+    } else if (ty.startsWith("set")) {
+      val n = math.min(graft.core.TypeMap.parseEnumOrSetValues(col.mysqlType).size, 5)
+      pick(h, (1 << n) + 1, 2).toString // 0 (original) .. full mask
+    } else if (ty == "tinyint(1)") pick(h, 3, 6).toString
+    else if (ty.startsWith("datetime")) pick(h, 10, 3) match {
+      case 0 => "0000-00-00 00:00:00"
+      case d if d % 3 == 0 => f"2021-03-04 05:06:0$d%d.${pick(h, 999999, 4)}%06d"
+      case d => s"2021-03-04 05:06:0$d"
+    }
+    else if (ty.startsWith("timestamp")) s"2025-02-14 08:08:0${pick(h, 10, 7)}"
+    else if (ty.startsWith("date")) pick(h, 5, 3) match {
+      case 0 => "0000-00-00"
+      case d => s"2021-03-1$d"
+    }
+    else if (ty.startsWith("time")) f"${pick(h, 24, 7)}%02d:30:00"
+    else if (ty.startsWith("year")) (1990 + pick(h, 40, 9)).toString
+    else if (ty.startsWith("decimal")) Seq(".33", "-.77", "12.5", "-0.25")(pick(h, 4, 5))
+    else if (numericKeyType(ty)) pick(h, 1000, 8).toString
+    else if (ty.startsWith("float") || ty.startsWith("double")) s"${pick(h, 100, 10)}.5"
+    else s"w-${pick(h, 100000, 11)}"
+  }
+
+  /** Full after-image (or keys-only before-image) for an arbitrary wire
+    * table, column order = [[graft.core.WireTable.orderedColumns]].
+    */
+  def genericValues(wt: graft.core.WireTable, repo: String, path: String,
+      commit: String, keysOnly: Boolean, pathIdxOf: String => Int,
+      pathsPerRepo: Int): Array[String] = {
+    val keyVals = keyValues(wt.orderedColumns.take(wt.keys.size), repo, path,
+      pathIdxOf, pathsPerRepo)
+    val h = EventGen.mix64(commit.hashCode.toLong << 32 ^ repo.hashCode ^ path.hashCode)
+    val rest = wt.orderedColumns.drop(wt.keys.size)
+      .map(c => if (keysOnly) null else wireValueFor(c, h))
+    (keyVals ++ rest).toArray
+  }
+
   /** Lift a typed event to its wire form (delete before-images carry the key
     * only, like the typed stream).
     */

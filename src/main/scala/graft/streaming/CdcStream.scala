@@ -47,7 +47,12 @@ object CdcStream {
       // reference `shards` config (spec.json:23-28): comma-separated shard
       // names to sync; None = all shards. Validated against live shards by
       // the source (unknown name fails loud).
-      shardSubset: Option[String] = None)
+      shardSubset: Option[String] = None,
+      // arbitrary wire table (the discover→read loop): one `tables[]` entry
+      // of a discover --columns spec; implies wirePayload. The source serves
+      // wire strings shaped to this table, applyBatch normalizes + lands
+      // them typed, merge keys = the table's primary-key columns.
+      wireTable: Option[graft.core.WireTable] = None)
 
   private def startingGtidsJson(g: Map[String, Map[String, String]]): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -104,6 +109,7 @@ object CdcStream {
       rc.maxEventsPerTrigger.map("maxEventsPerTrigger" -> _.toString) ++
       rc.endSeq.map("endSeq" -> _.toString) ++
       rc.shardSubset.map("shards" -> _) ++
+      rc.wireTable.map("wireTable" -> _.toJson) ++
       (if (rc.wirePayload) Map("wirePayload" -> "true") else Map.empty) ++
       (if (rc.useReplica) Map("useReplica" -> "true") else Map.empty) ++
       (if (rc.useRdonly) Map("useRdonly" -> "true") else Map.empty) ++
@@ -157,6 +163,14 @@ object CdcStream {
     * files — duplication is the ONLY crash hazard of the fold scheme, and
     * the reader absorbs it, so no swap/rename dance of the whole directory
     * is ever needed.
+    *
+    * ==Polling a LIVE stream? Pass `lenient = true`.==
+    * A fold on the writer thread may delete input files between this
+    * reader's listing and its execution; the strict default then fails with
+    * FileNotFoundException. That default is deliberate — post-run audits and
+    * tests must see genuinely missing files LOUDLY — but any monitoring
+    * caller reading concurrently with an active writer needs `lenient`
+    * (such a read can transiently miss just-folded rows; re-read to settle).
     */
   def readMetrics(spark: SparkSession, tableRoot: String,
       lenient: Boolean = false): DataFrame = {
@@ -243,6 +257,10 @@ object CdcStream {
   def runAvailableNow(spark: SparkSession, rc: RunConfig): Long = {
     val table = new LakeTable(rc.tableRoot, spark)
     require(table.currentVersion.nonEmpty, "create the lake table first")
+    // the COPY-phase PK watermark is (repo, path)-shaped; arbitrary wire
+    // tables ingest the catchup stream (copyRows = 0)
+    require(rc.wireTable.isEmpty || rc.gen.copyRows == 0L,
+      "wireTable streams do not support a COPY phase (set copyRows = 0)")
     var batches = 0L
     val stream = spark.readStream
       .format("graft-changelog")
@@ -258,8 +276,9 @@ object CdcStream {
         // columns), not a pre-scan of the batch here
         val res = CdcApply.applyBatch(table, batch, batchId, streamId = rc.streamId,
           conf = CdcApply.ApplyConfig(parityMode = rc.parityMode,
-            wireSpec = if (rc.wirePayload) Some(graft.core.WireTableSpec.repoProfile)
-                       else None),
+            wireSpec = rc.wireTable.map(_.spec).orElse(
+              if (rc.wirePayload) Some(graft.core.WireTableSpec.repoProfile) else None),
+            keyColumns = rc.wireTable.map(_.keys).getOrElse(Seq("repo", "path"))),
           streamName = rc.streamName)
         if (!res.skipped) {
           batches += 1
@@ -307,7 +326,9 @@ object CdcStream {
     * reference's sequential stream loop lacks (SURVEY A20): a 100-table
     * catalog overlaps its 100 ingest passes instead of serializing them,
     * and each stream's own shard×chunk task parallelism still applies
-    * inside its batches. Returns batches applied per stream name.
+    * inside its batches. Returns batches applied per stream STATE KEY
+    * (`<namespace>:<name>` — same-named tables in different namespaces stay
+    * distinct).
     */
   def runCatalog(
       spark: SparkSession,
@@ -347,7 +368,9 @@ object CdcStream {
             table.create(
               graft.core.ChangeEvent.landingSchemaFor(rc.wirePayload, rc.includeMetadata),
               rc.numBuckets)
-          s.name -> runAvailableNow(spark, rc)
+          // keyed by stateKey (namespace:name): two streams with the same
+          // table name in DIFFERENT namespaces must not collapse to one entry
+          s.stateKey -> runAvailableNow(spark, rc)
         } }
       }
       val results = Await.result(Future.sequence(futures), Duration.Inf)

@@ -37,7 +37,9 @@ import scala.jdk.CollectionConverters._
 class ChangelogSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-changelog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.getBoolean("wirePayload", false)) ChangelogSource.wireSchema
+    if (options.containsKey("wireTable"))
+      ChangelogSource.wireSchemaFor(graft.core.WireTable.fromJson(options.get("wireTable")))
+    else if (options.getBoolean("wirePayload", false)) ChangelogSource.wireSchema
     else ChangelogSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -56,6 +58,20 @@ object ChangelogSource {
     */
   val wireSchema: StructType = ExpressionEncoder[WireChangeEvent]().schema
 
+  /** Envelope schema for an ARBITRARY wire table (the discover→read loop):
+    * same envelope as [[WireChangeEvent]], payload struct = the table's
+    * ordered columns, every value a raw wire string.
+    */
+  def wireSchemaFor(wt: graft.core.WireTable): StructType = {
+    val payload = StructType(wt.orderedColumns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    StructType(ChangeEvent.schema.fields.map {
+      case f if f.name == "before" || f.name == "after" => f.copy(dataType = payload)
+      case f => f
+    })
+  }
+
   final case class SourceOptions(
       gen: GenConfig,
       maxEventsPerTrigger: Long,
@@ -68,7 +84,10 @@ object ChangelogSource {
       wirePayload: Boolean,
       // shard-subset selection (reference `shards` config): the validated
       // shard indexes this source tails; all shards when unconfigured
-      selectedShards: Seq[Int])
+      selectedShards: Seq[Int],
+      // arbitrary wire table (discover→read loop): the source serves wire
+      // strings shaped to THIS table's columns instead of repo_profile
+      wireTable: Option[graft.core.WireTable])
 
   /** The reference's `shards` option (`spec.json:23-28`, validation
     * `planetscale_connection.go:66-83`): a comma-separated list of shard
@@ -138,25 +157,29 @@ object ChangelogSource {
         else if (opts.get("useReplica").exists(_.toBoolean)) "replica"
         else "primary",
       replicaLagEvents = l("replicaLagEvents", 0L),
-      wirePayload = opts.get("wirePayload").exists(_.toBoolean),
+      wirePayload = opts.get("wirePayload").exists(_.toBoolean) ||
+        opts.contains("wireTable"),
       selectedShards = opts.get("shards").filter(_.trim.nonEmpty)
         .map(parseShardSubset(_, i("numShards", 4)))
-        .getOrElse(0 until i("numShards", 4)))
+        .getOrElse(0 until i("numShards", 4)),
+      wireTable = opts.get("wireTable").map(graft.core.WireTable.fromJson))
   }
 }
 
 class ChangelogTable(opts: ChangelogSource.SourceOptions) extends Table with SupportsRead {
   override def name(): String = s"graft_changelog(${opts.gen.keyspace})"
-  override def schema(): StructType =
-    if (opts.wirePayload) ChangelogSource.wireSchema else ChangelogSource.schema
+  override def schema(): StructType = opts.wireTable match {
+    case Some(wt) => ChangelogSource.wireSchemaFor(wt)
+    case None if opts.wirePayload => ChangelogSource.wireSchema
+    case None => ChangelogSource.schema
+  }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType =
-          if (opts.wirePayload) ChangelogSource.wireSchema else ChangelogSource.schema
+        override def readSchema(): StructType = schema()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ChangelogMicroBatchStream(opts)
         override def toBatch: Batch = new ChangelogBatch(opts)
@@ -259,7 +282,7 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangelogReaderFactory(c, opts.wirePayload)
+    new ChangelogReaderFactory(c, opts.wirePayload, opts.wireTable)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -274,7 +297,7 @@ class ChangelogBatch(opts: ChangelogSource.SourceOptions) extends Batch {
     ChangelogPlanner.plan(c, opts.selectedShards, from, to, opts.rowsPerPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangelogReaderFactory(c, opts.wirePayload)
+    new ChangelogReaderFactory(c, opts.wirePayload, opts.wireTable)
 }
 
 object ChangelogPlanner {
@@ -296,20 +319,22 @@ object ChangelogPlanner {
 case class ChangelogInputPartition(shardIdx: Int, from: Long, to: Long, c: GenConfig)
     extends InputPartition
 
-class ChangelogReaderFactory(c: GenConfig, wirePayload: Boolean = false)
+class ChangelogReaderFactory(c: GenConfig, wirePayload: Boolean = false,
+    wireTable: Option[graft.core.WireTable] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChangelogInputPartition]
     new PartitionReader[InternalRow] {
       // one serializer closure chosen at construction (no per-row branching)
-      private val encode: ChangeEvent => InternalRow =
-        if (wirePayload) {
+      private val encode: ChangeEvent => InternalRow = wireTable match {
+        case Some(wt) => ChangelogReaderFactory.genericWireEncoder(wt, p.c)
+        case None if wirePayload =>
           val ser = ExpressionEncoder[WireChangeEvent]().createSerializer()
           e => ser(WireGen.fromEvent(e))
-        } else {
+        case None =>
           val ser = ExpressionEncoder[ChangeEvent]().createSerializer()
           e => ser(e)
-        }
+      }
       private val paths = EventGen.sortedPaths(p.c)
       private var pos = p.from
       private var row: InternalRow = _
@@ -323,5 +348,36 @@ class ChangelogReaderFactory(c: GenConfig, wirePayload: Boolean = false)
       override def get(): InternalRow = row
       override def close(): Unit = ()
     }
+  }
+}
+
+object ChangelogReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Serializer for an arbitrary wire table: hand-built InternalRows (no
+    * per-row encoder reflection) shaped to [[ChangelogSource.wireSchemaFor]].
+    * Key values are injective in the event identity; other columns derive
+    * closed-form from the column TYPE ([[WireGen.wireValueFor]]).
+    */
+  private[streaming] def genericWireEncoder(
+      wt: graft.core.WireTable, c: GenConfig): ChangeEvent => InternalRow = {
+    // path → original generator index (pathName enumeration order)
+    val pathIdx: Map[String, Int] =
+      (0 until c.pathsPerRepo).map(i => EventGen.pathName(i)._1 -> i).toMap
+    def utf(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+    def payload(r: graft.core.RepoFile, keysOnly: Boolean): GenericInternalRow =
+      new GenericInternalRow(
+        WireGen.genericValues(wt, r.repo, r.path, r.commit, keysOnly,
+          pathIdx, c.pathsPerRepo).map(v => utf(v): Any))
+    e =>
+      new GenericInternalRow(Array[Any](
+        utf(e.keyspace), utf(e.shard), utf(e.vgtid), e.event_seq, utf(e.op),
+        e.before.map(payload(_, keysOnly = true)).orNull,
+        e.after.map(payload(_, keysOnly = false)).orNull,
+        e.is_copy_phase,
+        e.last_pk.map(pk =>
+          new GenericInternalRow(Array[Any](utf(pk.repo), utf(pk.path)))).orNull,
+        e.schema_version))
   }
 }

@@ -338,7 +338,7 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
       CdcStream.RunConfig(c, s"$base/${s.name}", s"$base/cp/${s.name}", numBuckets = 4)
 
     val r1 = CdcStream.runCatalog(spark, cat, rcFor)
-    assert(r1("a") > 0 && r1("b") > 0)
+    assert(r1(s"${c.keyspace}:a") > 0 && r1(s"${c.keyspace}:b") > 0)
     val want = ChangelogGen.expectedFinalState(spark, c)
     assertParity(new LakeTable(s"$base/a", spark), want)
     assertParity(new LakeTable(s"$base/b", spark), want)
@@ -347,8 +347,9 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     // second pass: incremental stream early-exits (nothing new); full_refresh
     // stream is reset (cursor + table) and replays everything
     val r2 = CdcStream.runCatalog(spark, cat, rcFor)
-    assert(r2("a") == 0L, s"incremental stream should early-exit, applied ${r2("a")}")
-    assert(r2("b") > 0L, "full_refresh stream should re-ingest")
+    assert(r2(s"${c.keyspace}:a") == 0L,
+      s"incremental stream should early-exit, applied ${r2(s"${c.keyspace}:a")}")
+    assert(r2(s"${c.keyspace}:b") > 0L, "full_refresh stream should re-ingest")
     val b = new LakeTable(s"$base/b", spark)
     assert(b.currentVersion.get <= bVersion1, "table b should have been rebuilt from scratch")
     assertParity(b, want)

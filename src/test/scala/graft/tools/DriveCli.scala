@@ -25,6 +25,14 @@ object DriveCli {
       "--table", s"$base/w", "--checkpoint", s"$base/wcp",
       "--events", "2000", "--shards", "2", "--repos", "10", "--paths", "5",
       "--wire", "true"))
+    // discover→read ROUND TRIP: the same column-spec file discover consumed
+    // drives an arbitrary-table wire ingest (--wire_columns + --wire_table)
+    graft.Main.main(Array("read",
+      "--table", s"$base/film", "--checkpoint", s"$base/filmcp",
+      "--events", "2000", "--shards", "2", "--repos", "10", "--paths", "5",
+      "--keyspace", "sakila",
+      "--wire_columns", "src/test/resources/sakila_columns.json",
+      "--wire_table", "film"))
     // independent session: prove the _graft_* columns landed populated
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").appName("graft-cli-verify")
@@ -42,6 +50,14 @@ object DriveCli {
       require(wireTypes("verified") == "BOOLEAN" && wireTypes("stars") == "BIGINT",
         s"wire read did not land typed: $wireTypes")
       println(s"""{"wire_rows":${wire.count()},"wire_types_ok":true}""")
+      val film = new graft.laketable.LakeTable(s"$base/film", spark)
+      val filmTypes = film.read().schema.fields.map(f => f.name -> f.dataType.sql).toMap
+      require(filmTypes("film_id") == "BIGINT" &&
+        filmTypes("rental_rate") == "DECIMAL(4,2)" && filmTypes("rating") == "STRING",
+        s"film wire read did not land typed: $filmTypes")
+      require(film.summaryValue("cursors").exists(_.contains("sakila:film")),
+        "film cursors not keyed sakila:film")
+      println(s"""{"film_rows":${film.read().count()},"film_types_ok":true}""")
       println("DriveCli OK")
     } finally spark.stop()
   }
