@@ -162,7 +162,83 @@ object OracleSql {
                   ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS tokens
            FROM documents))"""
 
+  // ---- cdc_replay_final_state oracle -------------------------------------
+  //
+  // Full relational mirror of the engine-side replay: EventGen's closed-form
+  // changelog (splitmix64 h01 draws → repo/path/op per event) is re-derived
+  // IN DuckDB, the LWW winner per key selected with arg_max, and the winner's
+  // content string rebuilt byte-for-byte (sha256-hex block derivation) so the
+  // final (repo, path, sha256(content)) set is computed independently of any
+  // engine code path. splitmix64 needs mod-2^64 arithmetic: HUGEINT carries
+  // add/mul (32-bit limb product), UBIGINT carries xor/shift. The inner
+  // mix64(seed ^ mix64(salt)) is a per-salt CONSTANT precomputed here, so
+  // each uniform draw is ONE variable mix64 (4 CTE stages).
+
+  private val M64 = "18446744073709551616" // 2^64
+  private def u64(l: Long): String = java.lang.Long.toUnsignedString(l)
+
+  /** `(a * c) mod 2^64` over a HUGEINT expression via 32-bit limbs. */
+  private def mul64(a: String, c: Long): String = {
+    val cl = c & 0xffffffffL
+    val ch = c >>> 32
+    s"((($a % 4294967296) * $cl + ((($a // 4294967296) * $cl + ($a % 4294967296) * $ch) % 4294967296) * 4294967296) % $M64)"
+  }
+
+  /** `xor(x, x >>> sh)` (UBIGINT) of a HUGEINT column, back as HUGEINT. */
+  private def xs(col: String, sh: Int): String =
+    s"CAST(xor(CAST($col AS UBIGINT), CAST($col AS UBIGINT) >> $sh) AS HUGEINT)"
+
+  /** CTE stages computing `h64(id, seed, salt)` as column `${p}_h` (UBIGINT):
+    * mix64(id ^ K) with K = mix64(seed ^ mix64(salt)) folded to a constant.
+    */
+  private def h64Stages(p: String, prev: String, seed: Long, salt: Long): String = {
+    import graft.genlog.EventGen.mix64
+    val k = mix64(seed ^ mix64(salt))
+    s"""${p}a AS (SELECT *, (CAST(xor(uid, CAST(${u64(k)} AS UBIGINT)) AS HUGEINT)
+       |  + 11400714819323198485) % $M64 AS ${p}_x1 FROM $prev),
+       |${p}b AS (SELECT *, ${mul64(xs(s"${p}_x1", 30), 0xbf58476d1ce4e5b9L)} AS ${p}_x2 FROM ${p}a),
+       |${p}c AS (SELECT *, ${mul64(xs(s"${p}_x2", 27), 0x94d049bb133111ebL)} AS ${p}_x3 FROM ${p}b),
+       |${p}d AS (SELECT *, xor(CAST(${p}_x3 AS UBIGINT), CAST(${p}_x3 AS UBIGINT) >> 31) AS ${p}_h FROM ${p}c)""".stripMargin
+  }
+
+  /** The full oracle for `cdc_replay_final_state` — parameters mirror the
+    * query's GenConfig (events=4000, shards=2, repos=20 → 10 per shard,
+    * paths=10, zipf=2.0, deleteRatio=0.05, seed=42, contentBlocks=8).
+    */
+  private val replayFinalStateSql: String = {
+    val seed = 42L
+    s"""WITH ids AS (SELECT CAST(range AS UBIGINT) AS uid, CAST(range AS HUGEINT) AS id
+       |  FROM range(0, 4000)),
+       |${h64Stages("s1", "ids", seed, 1)},
+       |${h64Stages("s2", "s1d", seed, 2)},
+       |${h64Stages("s3", "s2d", seed, 3)},
+       |ev AS (SELECT id,
+       |  (s1_h >> 11) / 9007199254740992.0 AS u1,
+       |  (s2_h >> 11) / 9007199254740992.0 AS u2,
+       |  (s3_h >> 11) / 9007199254740992.0 AS u3 FROM s3d),
+       |row0 AS (SELECT id,
+       |  CAST(id % 2 AS INT) + 2 * least(9, CAST(floor(10 * u1 * u1) AS INT)) AS repo_idx,
+       |  least(9, CAST(floor(10 * u2) AS INT)) AS p_idx,
+       |  u3 < 0.05 AS is_delete FROM ev),
+       |keyed AS (SELECT id, printf('repo-%04d', repo_idx) AS repo,
+       |  printf('src/dir%d/file%d.%s', p_idx % 7, p_idx,
+       |    ['scala','go','py','rs','js'][p_idx % 5 + 1]) AS path,
+       |  is_delete FROM row0),
+       |win AS (SELECT repo, path, arg_max(id, id) AS wid,
+       |  arg_max(CAST(is_delete AS INT), id) AS wdel FROM keyed GROUP BY repo, path),
+       |hashed AS (SELECT repo, path, wid,
+       |  sha256(repo || '|' || path || '|' || wid || '|$seed') AS h
+       |  FROM win WHERE wdel = 0),
+       |body AS (SELECT repo, path,
+       |  '// ' || repo || '/' || path || ' @v' || wid || chr(10) ||
+       |  repeat('fn block_' || substr(h, 1, 12) || '() { return "' || substr(h, 13, 32) || '"; }' || chr(10),
+       |    1 + CAST(CAST('0x' || substr(h, 1, 12) AS UBIGINT) % 8 AS INT)) AS content
+       |  FROM hashed)
+       |SELECT repo, path, sha256(content) AS sha FROM body""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "cdc_replay_final_state" -> replayFinalStateSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
