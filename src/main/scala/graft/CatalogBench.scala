@@ -19,14 +19,17 @@ import org.apache.spark.sql.SparkSession
   */
 object CatalogBench {
 
-  private def run(spark: SparkSession, streams: Int, c: GenConfig): Double = {
+  private def run(spark: SparkSession, streams: Int, c: GenConfig,
+      eventsFor: Int => Long = _ => 0L): Double = {
     val base = java.nio.file.Files.createTempDirectory("graft-catbench").toString
     val cat = ConfiguredCatalog((1 to streams).map(i =>
       ConfiguredStream(s"s$i", c.keyspace, "incremental")))
     val t0 = System.nanoTime()
-    CdcStream.runCatalog(spark, cat, s =>
-      CdcStream.RunConfig(c, s"$base/${s.name}", s"$base/cp/${s.name}", numBuckets = 32),
-      maxConcurrentStreams = streams)
+    CdcStream.runCatalog(spark, cat, s => {
+      val n = eventsFor(s.name.stripPrefix("s").toInt)
+      val cc = if (n > 0) c.copy(numEvents = n, copyRows = n / 10) else c
+      CdcStream.RunConfig(cc, s"$base/${s.name}", s"$base/cp/${s.name}", numBuckets = 32)
+    }, maxConcurrentStreams = streams)
     val secs = (System.nanoTime() - t0) / 1e9
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     secs
@@ -59,7 +62,18 @@ object CatalogBench {
       best1 = math.min(best1, s1); best2 = math.min(best2, s2)
     }
     val ratio = best2 / best1
-    println(f"""{"metric":"catalog_concurrency","one_stream_sec":$best1%.2f,"two_stream_sec":$best2%.2f,"ratio_vs_one":$ratio%.2f,"events_per_stream":$events,"cpus":$cpus}""")
+    // SKEWED pair: stream 1 = full size, stream 2 = 1/8th. With per-stream
+    // FAIR pools the small stream rides along inside the big one's wall —
+    // skew ratio ≈ 1×; FIFO would queue the small stream's stages behind
+    // the big batch's.
+    var bestSkew = Double.MaxValue
+    (1 to rounds).foreach { r =>
+      val sk = run(spark, 2, c, i => if (i == 1) events else events / 8)
+      System.err.println(f"[skew round $r] big+small=$sk%.2f")
+      bestSkew = math.min(bestSkew, sk)
+    }
+    val skewRatio = bestSkew / best1
+    println(f"""{"metric":"catalog_concurrency","one_stream_sec":$best1%.2f,"two_stream_sec":$best2%.2f,"ratio_vs_one":$ratio%.2f,"skewed_pair_sec":$bestSkew%.2f,"skew_ratio_vs_one":$skewRatio%.2f,"events_per_stream":$events,"cpus":$cpus}""")
     spark.stop()
   }
 }

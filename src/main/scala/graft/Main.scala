@@ -70,7 +70,7 @@ object Main {
     verb match {
       case "spec" =>
         println(
-          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"},"wire_columns":{"type":"string","description":"column-spec JSON file (same file discover --columns reads); the selected table's wire stream is ingested with typed landing"},"wire_table":{"type":"string","description":"table name to pick from --wire_columns (default: first table)"}}}}""")
+          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"},"wire_columns":{"type":"string","description":"column-spec JSON file (same file discover --columns reads); the selected table's wire stream is ingested with typed landing"},"wire_table":{"type":"string","description":"table name to pick from --wire_columns (default: first table)"},"timeout_seconds":{"type":"integer","description":"timeout in seconds for a sync attempt; committed batches stand and the next sync resumes from checkpoint"}}}}""")
 
       case "check" =>
         val spark = session()
@@ -235,7 +235,8 @@ object Main {
                 // separated shard names; --shards is the genlog COUNT flag)
                 shardSubset = o.get("sync_shards"),
                 wireTable = wireTable,
-                streamName = wireTable.map(_.name).getOrElse("repo_content"))
+                streamName = wireTable.map(_.name).getOrElse("repo_content"),
+                timeoutSeconds = o.get("timeout_seconds").map(_.toLong))
               val t0 = System.nanoTime()
               val batches = CdcStream.runAvailableNow(spark, rc)
               val secs = (System.nanoTime() - t0) / 1e9

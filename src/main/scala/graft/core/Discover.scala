@@ -62,6 +62,11 @@ object Discover {
     * flat `_graft_*` provenance columns are injected into the schema (the
     * reference injects a single `_planetscale_metadata` object property —
     * this engine lands provenance as flat typed columns instead).
+    *
+    * Known byte-level deviation from the reference Stream shape: each stream
+    * carries an extra `shards` array (the engine surfaces shard topology at
+    * discovery; the reference does not). Tolerant JSON consumers ignore it;
+    * strict golden comparisons against reference output must drop the field.
     */
   private def streamNode(t: DiscoveredTable, keyspace: String, shards: Seq[String],
       treatTiny: Boolean, includeMetadata: Boolean): ObjectNode = {

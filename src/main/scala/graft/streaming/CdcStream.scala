@@ -52,7 +52,13 @@ object CdcStream {
       // of a discover --columns spec; implies wirePayload. The source serves
       // wire strings shaped to this table, applyBatch normalizes + lands
       // them typed, merge keys = the table's primary-key columns.
-      wireTable: Option[graft.core.WireTable] = None)
+      wireTable: Option[graft.core.WireTable] = None,
+      // reference `timeout_seconds` (spec.json:83-90, Read loop step 5:
+      // "End the stream when … the timeout kicks in"): bound one sync
+      // attempt's wall time. Batches committed before the fence stand
+      // (data + cursors), the query stops cleanly, and the NEXT sync
+      // resumes from the checkpoint — a partial sync, never a failure.
+      timeoutSeconds: Option[Long] = None)
 
   private def startingGtidsJson(g: Map[String, Map[String, String]]): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -301,7 +307,23 @@ object CdcStream {
         ()
       }
       .start()
-    q.awaitTermination()
+    // reference timeout_seconds: fence this sync attempt's wall time. The
+    // watchdog stops the query; batches whose snapshot already committed
+    // stand (data + cursors + checkpoint), an in-flight batch is abandoned
+    // mid-stage (its staged files are dropped, its checkpoint never
+    // advances) and replays exactly-once on the next sync. Partial sync,
+    // not a failure — the reference ends the VStream the same way
+    // (planetscale_edge_database.go:206-209 step 5b).
+    val watchdog = rc.timeoutSeconds.map { secs =>
+      val t = new java.util.Timer("graft-sync-timeout", true)
+      t.schedule(new java.util.TimerTask {
+        override def run(): Unit =
+          try q.stop() catch { case _: Exception => () }
+      }, secs * 1000L)
+      t
+    }
+    try q.awaitTermination()
+    finally watchdog.foreach(_.cancel())
     // deregistration from the JVM-global active-checkpoint set can lag
     // awaitTermination; stop() synchronizes it so an immediate restart on the
     // same checkpoint (crash/resume tests, back-to-back syncs) doesn't trip
@@ -348,29 +370,38 @@ object CdcStream {
       // never races sibling queries still writing checkpoints/snapshots
       val futures = catalog.streams.map { s =>
         Future { Try {
-          val rc0 = rcFor(s)
-          // supplied state resumes ONLY incremental streams (read.go:169-180)
-          val resume =
-            if (s.incrementalSyncRequested) state.streams.getOrElse(s.stateKey, Map.empty)
-            else Map.empty[String, graft.core.ShardCursor]
-          val rc = rc0.copy(gen = rc0.gen.copy(keyspace = s.namespace),
-            streamId = s.stateKey, streamName = s.name,
-            resumeState = if (rc0.resumeState.nonEmpty) rc0.resumeState else resume)
-          val table = new LakeTable(rc.tableRoot, spark)
-          if (!s.incrementalSyncRequested) {
-            // cursor reset: checkpoint + table state discarded (read.go:169-180)
-            table.drop()
-            val cpPath = new org.apache.hadoop.fs.Path(rc.checkpoint)
-            val fs = cpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (fs.exists(cpPath)) fs.delete(cpPath, true)
-          }
-          if (table.currentVersion.isEmpty)
-            table.create(
-              graft.core.ChangeEvent.landingSchemaFor(rc.wirePayload, rc.includeMetadata),
-              rc.numBuckets)
-          // keyed by stateKey (namespace:name): two streams with the same
-          // table name in DIFFERENT namespaces must not collapse to one entry
-          s.stateKey -> runAvailableNow(spark, rc)
+          // each stream schedules into its OWN pool: under
+          // spark.scheduler.mode=FAIR, unconfigured pools fair-share the
+          // executors (weight 1 each), so one stream's large batch cannot
+          // starve its siblings the way FIFO would. The local property is
+          // inherited by the query-execution thread spawned from start().
+          // Harmless no-op under the default FIFO scheduler.
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-${s.stateKey}")
+          try {
+            val rc0 = rcFor(s)
+            // supplied state resumes ONLY incremental streams (read.go:169-180)
+            val resume =
+              if (s.incrementalSyncRequested) state.streams.getOrElse(s.stateKey, Map.empty)
+              else Map.empty[String, graft.core.ShardCursor]
+            val rc = rc0.copy(gen = rc0.gen.copy(keyspace = s.namespace),
+              streamId = s.stateKey, streamName = s.name,
+              resumeState = if (rc0.resumeState.nonEmpty) rc0.resumeState else resume)
+            val table = new LakeTable(rc.tableRoot, spark)
+            if (!s.incrementalSyncRequested) {
+              // cursor reset: checkpoint + table state discarded (read.go:169-180)
+              table.drop()
+              val cpPath = new org.apache.hadoop.fs.Path(rc.checkpoint)
+              val fs = cpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (fs.exists(cpPath)) fs.delete(cpPath, true)
+            }
+            if (table.currentVersion.isEmpty)
+              table.create(
+                graft.core.ChangeEvent.landingSchemaFor(rc.wirePayload, rc.includeMetadata),
+                rc.numBuckets)
+            // keyed by stateKey (namespace:name): two streams with the same
+            // table name in DIFFERENT namespaces must not collapse to one entry
+            s.stateKey -> runAvailableNow(spark, rc)
+          } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
         } }
       }
       val results = Await.result(Future.sequence(futures), Duration.Inf)

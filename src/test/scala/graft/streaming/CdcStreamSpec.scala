@@ -122,6 +122,29 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
       m.contains("shard nope does not exist on the source database")), s"got: $e")
   }
 
+  test("timeout_seconds fences one sync attempt (reference Read step 5b): " +
+    "committed batches stand, the next sync resumes to parity") {
+    val c = GenConfig(numEvents = 40000L, numShards = 2, numRepos = 40, pathsPerRepo = 20)
+    val base = tmpDir("timeout")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val rc = CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
+      maxEventsPerTrigger = Some(2000L), timeoutSeconds = Some(3L))
+    val fenced = CdcStream.runAvailableNow(spark, rc)
+    // ~20 micro-batches at ≥0.3 s each against a 3 s fence: the sync MUST
+    // have been cut short (committed-so-far stands, no failure thrown)
+    assert(fenced < 20, s"timeout did not fence the sync (applied $fenced batches)")
+
+    // resume WITHOUT the fence: drains the rest from the checkpoint; an
+    // abandoned in-flight batch replays exactly-once
+    CdcStream.runAvailableNow(spark, rc.copy(timeoutSeconds = None))
+    val digest = (df: DataFrame) =>
+      df.select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val got = digest(t.read())
+    val want = digest(ChangelogGen.expectedFinalState(spark, c))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("metrics table: one row per (batch, shard) with vgtid range + rows") {
     val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
     val base = tmpDir("metrics")
@@ -373,9 +396,29 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
       inFlight.decrementAndGet()
       CdcStream.RunConfig(c, s"$base/${s.name}", s"$base/cp/${s.name}", numBuckets = 4)
     }
+    // FAIR-pool isolation: every job a stream submits must carry that
+    // stream's own scheduler pool (fair-shared under FAIR mode, so one
+    // stream's large batch can't starve siblings)
+    val pools = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = j.properties.getProperty("spark.scheduler.pool")
+        if (p != null && p.startsWith("graft-")) pools.add(p)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     val r1 = CdcStream.runCatalog(spark, cat, rcFor, maxConcurrentStreams = 3)
     assert(r1.values.forall(_ > 0))
     assert(maxInFlight.get() >= 2, s"streams ran sequentially (max in flight ${maxInFlight.get()})")
+    // listener events are async; queries are done, give the bus a moment
+    org.scalatest.concurrent.Eventually.eventually(
+      org.scalatest.concurrent.Eventually.timeout(org.scalatest.time.Span(10,
+        org.scalatest.time.Seconds))) {
+      assert(Seq("a", "b", "c").forall(n => pools.contains(s"graft-${c.keyspace}:$n")))
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    assert(Seq("a", "b", "c").forall(n => pools.contains(s"graft-${c.keyspace}:$n")),
+      s"per-stream scheduler pools not observed on jobs: $pools")
     val want = ChangelogGen.expectedFinalState(spark, c)
     Seq("a", "b", "c").foreach(n => assertParity(new LakeTable(s"$base/$n", spark), want))
 
