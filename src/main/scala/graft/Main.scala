@@ -152,7 +152,12 @@ object Main {
             case Some(catPath) =>
               // multi-stream configured catalog (reference read.go:103-138):
               // per-stream table + checkpoint, sync_mode honored; a --state
-              // file is merged per stream (incremental only — read.go:151-184)
+              // file is merged per stream (incremental only — read.go:151-184).
+              // --wire_columns is a single-stream option: a catalog names its
+              // own tables — combining the two would silently apply one
+              // table's spec to every stream, so fail loud instead
+              require(!o.contains("wire_columns"),
+                "--wire_columns is not supported with --catalog (the catalog names its streams)")
               val catalog = graft.core.ConfiguredCatalog.fromJson(
                 new String(java.nio.file.Files.readAllBytes(
                   java.nio.file.Paths.get(catPath)), "UTF-8"))
@@ -172,7 +177,10 @@ object Main {
                   numBuckets = o.getOrElse("buckets", "64").toInt,
                   useGtidWithTablePks = o.get("use_gtid_with_table_pks").exists(_.toBoolean),
                   includeMetadata = o.get("include_metadata").exists(_.toBoolean),
-                  wirePayload = o.get("wire").exists(_.toBoolean)),
+                  wirePayload = o.get("wire").exists(_.toBoolean),
+                  // per-sync options apply to EVERY stream of the catalog
+                  shardSubset = o.get("sync_shards"),
+                  timeoutSeconds = o.get("timeout_seconds").map(_.toLong)),
                 state = catalogState,
                 maxConcurrentStreams = o.getOrElse("stream_concurrency", "4").toInt)
               val secs = (System.nanoTime() - t0) / 1e9
@@ -197,8 +205,7 @@ object Main {
                     sys.error(s"table '$n' not found in $path " +
                       s"(has: ${tables.map(_.name).mkString(", ")})")))
                   .getOrElse(tables.head)
-                graft.core.WireTable(pick.name, pick.primaryKeys,
-                  pick.columns.map(c => graft.core.WireColumn(c.name, c.mysqlType, c.nullable)))
+                graft.core.WireTable.from(pick)
               }
               // --include_metadata: land the _graft_* provenance columns
               // (reference include_metadata, spec.json:63 +

@@ -62,8 +62,7 @@ final case class WireTable(name: String, keys: Seq[String], columns: Seq[WireCol
   def spec: WireTableSpec = WireTableSpec(orderedColumns)
 
   def toJson: String = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val n = m.createObjectNode()
+    val n = WireTable.mapper.createObjectNode()
     n.put("name", name)
     val ks = n.putArray("primary_keys"); keys.foreach(ks.add)
     val cs = n.putArray("columns")
@@ -71,25 +70,39 @@ final case class WireTable(name: String, keys: Seq[String], columns: Seq[WireCol
       val cn = cs.addObject()
       cn.put("name", c.name); cn.put("type", c.mysqlType); cn.put("nullable", c.nullable)
     }
-    m.writeValueAsString(n)
+    WireTable.mapper.writeValueAsString(n)
   }
 }
 
 object WireTable {
-  import scala.jdk.CollectionConverters._
+  private[core] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The single DiscoveredTable → WireTable conversion (discover output
+    * drives ingest; keep callers from hand-rolling drifting copies).
+    */
+  def from(t: Discover.DiscoveredTable): WireTable =
+    WireTable(t.name, t.primaryKeys,
+      t.columns.map(c => WireColumn(c.name, c.mysqlType, c.nullable)))
+
+  /** Round-trips [[WireTable.toJson]]; a `tables[]` entry of a
+    * `discover --columns` spec parses too (same fields). Missing name/type
+    * fail loud — a silently defaulted table name would key cursors under
+    * the wrong state key and re-ingest from scratch on resume.
+    */
   def fromJson(json: String): WireTable = {
-    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    import scala.jdk.CollectionConverters._
+    val n = mapper.readTree(json)
+    def req(node: com.fasterxml.jackson.databind.JsonNode, field: String, where: String): String =
+      Option(node.get(field)).map(_.asText()).getOrElse(
+        throw new IllegalArgumentException(s"wire-table JSON $where is missing required field '$field'"))
+    val name = req(n, "name", "root")
     val cols = Option(n.get("columns")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { c =>
-      WireColumn(
-        Option(c.get("name")).map(_.asText()).getOrElse(
-          throw new IllegalArgumentException("column entry missing 'name'")),
-        Option(c.get("type")).map(_.asText()).getOrElse(
-          throw new IllegalArgumentException("column entry missing 'type'")),
+      WireColumn(req(c, "name", s"column of '$name'"), req(c, "type", s"column of '$name'"),
         Option(c.get("nullable")).map(_.asText()).getOrElse("YES"))
     }
     val keys = Option(n.get("primary_keys")).map(_.elements().asScala.toSeq.map(_.asText()))
       .getOrElse(Nil)
-    WireTable(Option(n.get("name")).map(_.asText()).getOrElse("wire_table"), keys, cols)
+    WireTable(name, keys, cols)
   }
 }
 

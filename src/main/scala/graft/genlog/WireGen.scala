@@ -83,18 +83,43 @@ object WireGen {
 
   /** Merge-key wire values for an arbitrary table, derived INJECTIVELY from
     * the underlying event identity (repo, path) so LWW/delete semantics and
-    * final-state cardinality are preserved for any key shape:
-    * 2+ keys → (repo, path, const…); a single NUMERIC key → the dense
-    * (repoIdx, pathIdx) ordinal; a single string key → "repo/path".
+    * final-state cardinality are preserved for any key shape — and derived
+    * PER KEY COLUMN TYPE, so the value is representable in that column's
+    * typed landing (a numeric PK gets digits, a string PK gets names):
+    *  - single numeric key → the dense (repoIdx, pathIdx) ordinal
+    *  - single string key → "repo/path"
+    *  - composite: key 1 carries the repo (ordinal if numeric, name if
+    *    string), key 2 the path (ordinal/name), extras a constant
+    * Key columns whose landing can't hold an injective identity fail LOUD:
+    * a tinyint(1) PK lands boolean (two values — every synthetic row would
+    * LWW-collapse), and non-integer non-string types (decimal/date/…) would
+    * TRY-cast the synthetic value to null and trip wireKey's raise_error
+    * mid-job; both are rejected up front with a clear message.
     */
   def keyValues(keys: Seq[graft.core.WireColumn], repo: String, path: String,
       pathIdxOf: String => Int, pathsPerRepo: Int): Seq[String] = {
     def repoIdx = repo.stripPrefix("repo-").toInt
-    keys match {
-      case Seq(k) if numericKeyType(k.mysqlType) =>
-        Seq((repoIdx.toLong * pathsPerRepo + pathIdxOf(path) + 1L).toString)
-      case Seq(_) => Seq(s"$repo/$path")
-      case more   => Seq(repo, path) ++ more.drop(2).map(_ => "1")
+    keys.zipWithIndex.map { case (k, i) =>
+      val lands = graft.core.TypeMap.sparkType(k.mysqlType, treatTinyIntAsBoolean = true)
+      val numeric = numericKeyType(k.mysqlType) &&
+        lands != org.apache.spark.sql.types.BooleanType
+      val stringy = lands == org.apache.spark.sql.types.StringType
+      if (!numeric && !stringy)
+        throw new IllegalArgumentException(
+          s"unsupported merge-key column '${k.name} ${k.mysqlType}' for synthetic " +
+            "wire generation: the key must land as an integer or string type " +
+            "(boolean/decimal/temporal landings cannot carry an injective row identity)")
+      (i, numeric) match {
+        case (0, true) if keys.size == 1 =>
+          (repoIdx.toLong * pathsPerRepo + pathIdxOf(path) + 1L).toString
+        case (0, false) if keys.size == 1 => s"$repo/$path"
+        case (0, true)  => (repoIdx + 1).toString
+        case (0, false) => repo
+        case (1, true)  => (pathIdxOf(path) + 1).toString
+        case (1, false) => path
+        case (_, true)  => "1"
+        case (_, false) => "k"
+      }
     }
   }
 

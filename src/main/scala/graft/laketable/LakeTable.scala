@@ -390,10 +390,15 @@ final class LakeTable(val root: String, spark: SparkSession) {
       if (!referenced.contains(rel)) f.delete(st.getPath, false)
     }
     // delete unreferenced manifests (expired snapshots' and crash orphans)
+    // and temp-write leftovers a crash between create and rename strands
+    // (.m-*.tmp / .v*.tmp / .version-hint.*.tmp — single-writer, so no
+    // in-flight commit can own one while this maintenance pass runs)
     val keptManifestNames = keptManifests.map(m => new Path(root, m.path).getName).toSet
     f.listStatus(metaDir).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("m-") && !keptManifestNames.contains(name))
+        f.delete(st.getPath, false)
+      else if (name.startsWith(".") && name.endsWith(".tmp"))
         f.delete(st.getPath, false)
     }
     // delete expired snapshot json
@@ -494,6 +499,14 @@ object LakeTable {
 
   def snapshotFromJson(json: String): Snapshot = {
     val n = mapper.readTree(json)
+    // fail LOUD on pre-manifest-tree metadata, never NPE: formatVersion 1
+    // kept the full file inventory inline in v<N>.json
+    if (n.get("manifests") == null)
+      throw new IllegalStateException(
+        "unsupported snapshot format: no 'manifests' list (formatVersion 1, " +
+          "pre-manifest-tree inline file inventory). Rebuild the table, or " +
+          "migrate by wrapping the legacy 'files' array in one manifest per " +
+          "bucket group.")
     val schemas = n.get("schemas").properties().asScala.map { e =>
       val fields = e.getValue.asInstanceOf[ArrayNode].asScala.map { fn =>
         FieldDef(fn.get("id").asInt(), fn.get("name").asText(), fn.get("type").asText())

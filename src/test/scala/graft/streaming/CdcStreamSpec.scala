@@ -124,16 +124,17 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
 
   test("timeout_seconds fences one sync attempt (reference Read step 5b): " +
     "committed batches stand, the next sync resumes to parity") {
-    val c = GenConfig(numEvents = 40000L, numShards = 2, numRepos = 40, pathsPerRepo = 20)
+    val c = GenConfig(numEvents = 80000L, numShards = 2, numRepos = 40, pathsPerRepo = 20)
     val base = tmpDir("timeout")
     val t = new LakeTable(s"$base/t", spark)
     t.create(ChangeEvent.rowSchema, numBuckets = 4)
     val rc = CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
-      maxEventsPerTrigger = Some(2000L), timeoutSeconds = Some(3L))
+      maxEventsPerTrigger = Some(2000L), timeoutSeconds = Some(1L))
     val fenced = CdcStream.runAvailableNow(spark, rc)
-    // ~20 micro-batches at ≥0.3 s each against a 3 s fence: the sync MUST
-    // have been cut short (committed-so-far stands, no failure thrown)
-    assert(fenced < 20, s"timeout did not fence the sync (applied $fenced batches)")
+    // 40 micro-batches (each a full stage→merge→commit cycle, ≥100 ms even
+    // on a fast host) against a 1 s fence: the sync MUST have been cut
+    // short (committed-so-far stands, no failure thrown)
+    assert(fenced < 40, s"timeout did not fence the sync (applied $fenced batches)")
 
     // resume WITHOUT the fence: drains the rest from the checkpoint; an
     // abandoned in-flight batch replays exactly-once

@@ -18,9 +18,7 @@ class GenericWireSpec extends AnyFunSuite with SparkSupport {
   private def sakilaTable(name: String): WireTable = {
     val spec = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/test/resources/sakila_columns.json")), "UTF-8")
-    val t = Discover.parseColumnSpec(spec).find(_.name == name).get
-    WireTable(t.name, t.primaryKeys,
-      t.columns.map(c => WireColumn(c.name, c.mysqlType, c.nullable)))
+    WireTable.from(Discover.parseColumnSpec(spec).find(_.name == name).get)
   }
 
   test("discovered Sakila film table drives a wire ingest: typed landing, " +
@@ -100,6 +98,40 @@ class GenericWireSpec extends AnyFunSuite with SparkSupport {
       wireTable = Some(wt2), streamName = wt2.name))
     assert(t2.read().count() == expect)
     assert(t2.read().columns.toSeq == Seq("r", "p", "note"))
+  }
+
+  test("composite NUMERIC key (film_actor shape): per-column typed key values " +
+    "stay injective; unsupported key landings fail loud up front") {
+    val c = GenConfig(numEvents = 2000L, numShards = 2, numRepos = 10,
+      pathsPerRepo = 5, keyspace = "ks")
+    val base = tmpDir("genwire3")
+    // the most common composite-PK shape: two numeric id columns
+    val wt = WireTable("film_actor", Seq("actor_id", "film_id"), Seq(
+      WireColumn("actor_id", "smallint(5) unsigned", "NO"),
+      WireColumn("film_id", "smallint(5) unsigned", "NO"),
+      WireColumn("last_update", "timestamp", "NO")))
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.landingSchemaFor(wt, includeMetadata = false), numBuckets = 4)
+    CdcStream.runAvailableNow(spark, CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
+      wireTable = Some(wt), streamName = wt.name))
+    val expect = ChangelogGen.expectedFinalState(spark, c).count()
+    assert(t.read().count() == expect)
+    // the (actor_id, film_id) PAIR is injective in the identity space
+    assert(t.read().select("actor_id", "film_id").distinct().count() == expect)
+    assert(t.read().filter(col("actor_id").isNull || col("film_id").isNull).count() == 0)
+
+    // a tinyint(1) PK lands boolean — every synthetic row would LWW-collapse
+    // onto two key values; rejected LOUD at generation, not silently merged
+    val bad1 = WireTable("flags", Seq("flag"), Seq(
+      WireColumn("flag", "tinyint(1)", "NO"), WireColumn("v", "int(11)")))
+    val e1 = intercept[Exception](
+      CdcStream.runAvailableNow(spark, CdcStream.RunConfig(c, s"$base/b1", s"$base/bcp1",
+        wireTable = Some(bad1), streamName = bad1.name)
+        .copy(tableRoot = { val tt = new LakeTable(s"$base/b1", spark)
+          tt.create(ChangeEvent.landingSchemaFor(bad1, includeMetadata = false), 2); s"$base/b1" })))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e1).exists(_.contains("unsupported merge-key column")), s"got $e1")
   }
 
   test("WireTable JSON round-trips; missing name/type fail with a clear error") {
