@@ -29,23 +29,36 @@ object Discover {
 
   private val mapper = new ObjectMapper()
 
+  /** Required string field — absent AND explicit-null both fail loud (a
+    * JSON `null` must not silently become the string "null": a table named
+    * "null" would key cursors under the wrong state key).
+    */
+  private def req(n: com.fasterxml.jackson.databind.JsonNode, field: String,
+      where: String): String =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(
+        s"column-spec $where is missing required field '$field'"))
+
+  /** One `tables[]` entry → DiscoveredTable — THE parser for the
+    * {name, primary_keys, columns[{name,type,nullable}]} shape (also backs
+    * [[WireTable.fromJson]], so the two can't drift).
+    */
+  def parseTableEntry(t: com.fasterxml.jackson.databind.JsonNode): DiscoveredTable = {
+    val tname = req(t, "name", "table entry")
+    val cols = Option(t.get("columns")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { c =>
+      DiscoveredColumn(req(c, "name", s"column of table '$tname'"),
+        req(c, "type", s"column of table '$tname'"),
+        Option(c.get("nullable")).filterNot(_.isNull).map(_.asText()).getOrElse("YES"))
+    }
+    val pks = Option(t.get("primary_keys")).map(_.elements().asScala.toSeq.map(_.asText()))
+      .getOrElse(Nil)
+    DiscoveredTable(tname, pks, cols)
+  }
+
   def parseColumnSpec(json: String): Seq[DiscoveredTable] = {
     val root = mapper.readTree(json)
-    def req(n: com.fasterxml.jackson.databind.JsonNode, field: String, where: String): String =
-      Option(n.get(field)).map(_.asText()).getOrElse(
-        throw new IllegalArgumentException(
-          s"column-spec $where is missing required field '$field'"))
-    Option(root.get("tables")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { t =>
-      val tname = req(t, "name", "table entry")
-      val cols = Option(t.get("columns")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { c =>
-        DiscoveredColumn(req(c, "name", s"column of table '$tname'"),
-          req(c, "type", s"column of table '$tname'"),
-          Option(c.get("nullable")).map(_.asText()).getOrElse("YES"))
-      }
-      val pks = Option(t.get("primary_keys")).map(_.elements().asScala.toSeq.map(_.asText()))
-        .getOrElse(Nil)
-      DiscoveredTable(tname, pks, cols)
-    }
+    Option(root.get("tables")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+      .map(parseTableEntry)
   }
 
   private def propertyNode(p: PropertyType): ObjectNode = {

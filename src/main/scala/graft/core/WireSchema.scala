@@ -85,25 +85,14 @@ object WireTable {
       t.columns.map(c => WireColumn(c.name, c.mysqlType, c.nullable)))
 
   /** Round-trips [[WireTable.toJson]]; a `tables[]` entry of a
-    * `discover --columns` spec parses too (same fields). Missing name/type
-    * fail loud — a silently defaulted table name would key cursors under
-    * the wrong state key and re-ingest from scratch on resume.
+    * `discover --columns` spec parses too (same fields, same parser —
+    * [[Discover.parseTableEntry]], so the two can't drift). Missing or
+    * explicitly-null name/type fail loud — a silently defaulted table name
+    * would key cursors under the wrong state key and re-ingest from
+    * scratch on resume.
     */
-  def fromJson(json: String): WireTable = {
-    import scala.jdk.CollectionConverters._
-    val n = mapper.readTree(json)
-    def req(node: com.fasterxml.jackson.databind.JsonNode, field: String, where: String): String =
-      Option(node.get(field)).map(_.asText()).getOrElse(
-        throw new IllegalArgumentException(s"wire-table JSON $where is missing required field '$field'"))
-    val name = req(n, "name", "root")
-    val cols = Option(n.get("columns")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { c =>
-      WireColumn(req(c, "name", s"column of '$name'"), req(c, "type", s"column of '$name'"),
-        Option(c.get("nullable")).map(_.asText()).getOrElse("YES"))
-    }
-    val keys = Option(n.get("primary_keys")).map(_.elements().asScala.toSeq.map(_.asText()))
-      .getOrElse(Nil)
-    WireTable(name, keys, cols)
-  }
+  def fromJson(json: String): WireTable =
+    from(Discover.parseTableEntry(mapper.readTree(json)))
 }
 
 final case class WireTableSpec(

@@ -81,93 +81,105 @@ object WireGen {
     Seq("tinyint", "smallint", "mediumint", "int", "bigint").exists(t.startsWith)
   }
 
-  /** Merge-key wire values for an arbitrary table, derived INJECTIVELY from
-    * the underlying event identity (repo, path) so LWW/delete semantics and
-    * final-state cardinality are preserved for any key shape — and derived
-    * PER KEY COLUMN TYPE, so the value is representable in that column's
-    * typed landing (a numeric PK gets digits, a string PK gets names):
-    *  - single numeric key → the dense (repoIdx, pathIdx) ordinal
-    *  - single string key → "repo/path"
-    *  - composite: key 1 carries the repo (ordinal if numeric, name if
-    *    string), key 2 the path (ordinal/name), extras a constant
-    * Key columns whose landing can't hold an injective identity fail LOUD:
-    * a tinyint(1) PK lands boolean (two values — every synthetic row would
-    * LWW-collapse), and non-integer non-string types (decimal/date/…) would
-    * TRY-cast the synthetic value to null and trip wireKey's raise_error
-    * mid-job; both are rejected up front with a clear message.
+  /** Validate a wire table's merge-key columns — called DRIVER-SIDE (source
+    * option parsing and `runAvailableNow`) so an unsupported key shape fails
+    * once with a clear message, not per-row inside retried executor tasks.
+    * A tinyint(1) PK lands boolean (two values — every synthetic row would
+    * LWW-collapse), and non-integer non-string landings (decimal/temporal)
+    * would TRY-cast the synthetic value to null and trip wireKey's
+    * raise_error mid-job.
     */
-  def keyValues(keys: Seq[graft.core.WireColumn], repo: String, path: String,
-      pathIdxOf: String => Int, pathsPerRepo: Int): Seq[String] = {
-    def repoIdx = repo.stripPrefix("repo-").toInt
-    keys.zipWithIndex.map { case (k, i) =>
-      val lands = graft.core.TypeMap.sparkType(k.mysqlType, treatTinyIntAsBoolean = true)
-      val numeric = numericKeyType(k.mysqlType) &&
-        lands != org.apache.spark.sql.types.BooleanType
-      val stringy = lands == org.apache.spark.sql.types.StringType
-      if (!numeric && !stringy)
+  def validateKeys(wt: graft.core.WireTable): Unit =
+    wt.orderedColumns.take(wt.keys.size).foreach { k =>
+      if (!keyIsNumeric(k) && !keyIsString(k))
         throw new IllegalArgumentException(
           s"unsupported merge-key column '${k.name} ${k.mysqlType}' for synthetic " +
             "wire generation: the key must land as an integer or string type " +
             "(boolean/decimal/temporal landings cannot carry an injective row identity)")
-      (i, numeric) match {
-        case (0, true) if keys.size == 1 =>
-          (repoIdx.toLong * pathsPerRepo + pathIdxOf(path) + 1L).toString
-        case (0, false) if keys.size == 1 => s"$repo/$path"
-        case (0, true)  => (repoIdx + 1).toString
-        case (0, false) => repo
-        case (1, true)  => (pathIdxOf(path) + 1).toString
-        case (1, false) => path
-        case (_, true)  => "1"
-        case (_, false) => "k"
-      }
     }
+
+  private def keyIsNumeric(k: graft.core.WireColumn): Boolean =
+    numericKeyType(k.mysqlType) &&
+      graft.core.TypeMap.sparkType(k.mysqlType, treatTinyIntAsBoolean = true) !=
+        org.apache.spark.sql.types.BooleanType
+
+  private def keyIsString(k: graft.core.WireColumn): Boolean =
+    graft.core.TypeMap.sparkType(k.mysqlType, treatTinyIntAsBoolean = true) ==
+      org.apache.spark.sql.types.StringType
+
+  /** One closure per merge-key column: (repo, path) → wire key value,
+    * derived INJECTIVELY from the underlying event identity so LWW/delete
+    * semantics and final-state cardinality are preserved for any key shape,
+    * and PER KEY COLUMN TYPE so the value is representable in the column's
+    * typed landing (numeric PK → digits, string PK → names):
+    *  - single numeric key → the dense (repoIdx, pathIdx) ordinal
+    *  - single string key → "repo/path"
+    *  - composite: key 1 carries the repo (ordinal if numeric, name if
+    *    string), key 2 the path (ordinal/name), extras a constant
+    * All type dispatch happens HERE, once — the returned closures are
+    * branch-free per row.
+    */
+  def keyGens(wt: graft.core.WireTable, pathIdxOf: String => Int,
+      pathsPerRepo: Int): IndexedSeq[(String, String) => String] = {
+    validateKeys(wt)
+    val keys = wt.orderedColumns.take(wt.keys.size)
+    def repoIdx(repo: String) = repo.stripPrefix("repo-").toInt
+    keys.zipWithIndex.map { case (k, i) =>
+      (i, keyIsNumeric(k)) match {
+        case (0, true) if keys.size == 1 =>
+          (repo: String, path: String) =>
+            (repoIdx(repo).toLong * pathsPerRepo + pathIdxOf(path) + 1L).toString
+        case (0, false) if keys.size == 1 => (repo: String, path: String) => s"$repo/$path"
+        case (0, true)  => (repo: String, _: String) => (repoIdx(repo) + 1).toString
+        case (0, false) => (repo: String, _: String) => repo
+        case (1, true)  => (_: String, path: String) => (pathIdxOf(path) + 1).toString
+        case (1, false) => (_: String, path: String) => path
+        case (_, true)  => (_: String, _: String) => "1"
+        case (_, false) => (_: String, _: String) => "k"
+      }
+    }.toIndexedSeq
   }
 
-  /** One deterministic wire-string value for a MySQL column type — the same
-    * closed-form style as the repo_profile stream (enum indexes, set
-    * bitmasks, tinyint digits, zero/fractional datetimes, bare decimals),
-    * keyed on the column name so sibling columns differ.
+  /** One closure per VALUE column: row-hash → deterministic wire string in
+    * the same closed-form style as the repo_profile stream (enum indexes,
+    * set bitmasks, tinyint digits, zero/fractional datetimes, bare
+    * decimals). The MySQL-DDL dispatch — including enum/set label parsing —
+    * runs ONCE here; the per-row path is a single mix64 + formatting.
     */
-  def wireValueFor(col: graft.core.WireColumn, h0: Long): String = {
+  def valueGen(col: graft.core.WireColumn): Long => String = {
     val ty = col.mysqlType.toLowerCase
-    val h = EventGen.mix64(h0 ^ col.name.hashCode.toLong)
+    val nameHash = col.name.hashCode.toLong
+    def h(h0: Long): Long = EventGen.mix64(h0 ^ nameHash)
     if (ty.startsWith("enum")) {
       val n = graft.core.TypeMap.parseEnumOrSetValues(col.mysqlType).size
-      pick(h, n + 2, 1).toString // 0 (empty) .. n+1 (out-of-range fallthrough)
+      h0 => pick(h(h0), n + 2, 1).toString // 0 (empty) .. n+1 (out-of-range)
     } else if (ty.startsWith("set")) {
       val n = math.min(graft.core.TypeMap.parseEnumOrSetValues(col.mysqlType).size, 5)
-      pick(h, (1 << n) + 1, 2).toString // 0 (original) .. full mask
-    } else if (ty == "tinyint(1)") pick(h, 3, 6).toString
-    else if (ty.startsWith("datetime")) pick(h, 10, 3) match {
-      case 0 => "0000-00-00 00:00:00"
-      case d if d % 3 == 0 => f"2021-03-04 05:06:0$d%d.${pick(h, 999999, 4)}%06d"
-      case d => s"2021-03-04 05:06:0$d"
+      h0 => pick(h(h0), (1 << n) + 1, 2).toString // 0 (original) .. full mask
+    } else if (ty == "tinyint(1)") h0 => pick(h(h0), 3, 6).toString
+    else if (ty.startsWith("datetime")) h0 => {
+      val hh = h(h0)
+      pick(hh, 10, 3) match {
+        case 0 => "0000-00-00 00:00:00"
+        case d if d % 3 == 0 => f"2021-03-04 05:06:0$d%d.${pick(hh, 999999, 4)}%06d"
+        case d => s"2021-03-04 05:06:0$d"
+      }
     }
-    else if (ty.startsWith("timestamp")) s"2025-02-14 08:08:0${pick(h, 10, 7)}"
-    else if (ty.startsWith("date")) pick(h, 5, 3) match {
+    else if (ty.startsWith("timestamp")) h0 => s"2025-02-14 08:08:0${pick(h(h0), 10, 7)}"
+    else if (ty.startsWith("date")) h0 => pick(h(h0), 5, 3) match {
       case 0 => "0000-00-00"
       case d => s"2021-03-1$d"
     }
-    else if (ty.startsWith("time")) f"${pick(h, 24, 7)}%02d:30:00"
-    else if (ty.startsWith("year")) (1990 + pick(h, 40, 9)).toString
-    else if (ty.startsWith("decimal")) Seq(".33", "-.77", "12.5", "-0.25")(pick(h, 4, 5))
-    else if (numericKeyType(ty)) pick(h, 1000, 8).toString
-    else if (ty.startsWith("float") || ty.startsWith("double")) s"${pick(h, 100, 10)}.5"
-    else s"w-${pick(h, 100000, 11)}"
-  }
-
-  /** Full after-image (or keys-only before-image) for an arbitrary wire
-    * table, column order = [[graft.core.WireTable.orderedColumns]].
-    */
-  def genericValues(wt: graft.core.WireTable, repo: String, path: String,
-      commit: String, keysOnly: Boolean, pathIdxOf: String => Int,
-      pathsPerRepo: Int): Array[String] = {
-    val keyVals = keyValues(wt.orderedColumns.take(wt.keys.size), repo, path,
-      pathIdxOf, pathsPerRepo)
-    val h = EventGen.mix64(commit.hashCode.toLong << 32 ^ repo.hashCode ^ path.hashCode)
-    val rest = wt.orderedColumns.drop(wt.keys.size)
-      .map(c => if (keysOnly) null else wireValueFor(c, h))
-    (keyVals ++ rest).toArray
+    else if (ty.startsWith("time")) h0 => f"${pick(h(h0), 24, 7)}%02d:30:00"
+    else if (ty.startsWith("year")) h0 => (1990 + pick(h(h0), 40, 9)).toString
+    else if (ty.startsWith("decimal")) {
+      val vals = Array(".33", "-.77", "12.5", "-0.25")
+      h0 => vals(pick(h(h0), 4, 5))
+    }
+    else if (numericKeyType(ty)) h0 => pick(h(h0), 1000, 8).toString
+    else if (ty.startsWith("float") || ty.startsWith("double"))
+      h0 => s"${pick(h(h0), 100, 10)}.5"
+    else h0 => s"w-${pick(h(h0), 100000, 11)}"
   }
 
   /** Lift a typed event to its wire form (delete before-images carry the key

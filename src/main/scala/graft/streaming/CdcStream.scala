@@ -157,9 +157,14 @@ object CdcStream {
     val lineage = table.summaryValue(s"lineage:b$batchId").getOrElse(return)
     val (wallMs, version, stats) = CdcApply.lineageStats(lineage)
     if (stats.isEmpty) return
-    val present = scala.util.Try(
+    val dir = new org.apache.hadoop.fs.Path(s"$tableRoot/metrics")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a missing sidecar means the crash hit before the first append — write.
+    // Any OTHER read failure (e.g. a corrupt part file) must propagate: a
+    // blind append over unreadable-but-present rows would duplicate them
+    // with different wall_ms and break the deterministic-values contract.
+    val present = fs.exists(dir) &&
       readMetrics(spark, tableRoot).filter(s"batch_id = $batchId").limit(1).count() > 0
-    ).getOrElse(false)
     if (!present) writeMetrics(spark, tableRoot, batchId, stats, wallMs, version)
   }
 
@@ -267,6 +272,7 @@ object CdcStream {
     // tables ingest the catchup stream (copyRows = 0)
     require(rc.wireTable.isEmpty || rc.gen.copyRows == 0L,
       "wireTable streams do not support a COPY phase (set copyRows = 0)")
+    rc.wireTable.foreach(graft.genlog.WireGen.validateKeys)
     var batches = 0L
     val stream = spark.readStream
       .format("graft-changelog")
@@ -396,7 +402,10 @@ object CdcStream {
             }
             if (table.currentVersion.isEmpty)
               table.create(
-                graft.core.ChangeEvent.landingSchemaFor(rc.wirePayload, rc.includeMetadata),
+                rc.wireTable
+                  .map(wt => graft.core.ChangeEvent.landingSchemaFor(wt, rc.includeMetadata))
+                  .getOrElse(
+                    graft.core.ChangeEvent.landingSchemaFor(rc.wirePayload, rc.includeMetadata)),
                 rc.numBuckets)
             // keyed by stateKey (namespace:name): two streams with the same
             // table name in DIFFERENT namespaces must not collapse to one entry

@@ -162,7 +162,13 @@ object ChangelogSource {
       selectedShards = opts.get("shards").filter(_.trim.nonEmpty)
         .map(parseShardSubset(_, i("numShards", 4)))
         .getOrElse(0 until i("numShards", 4)),
-      wireTable = opts.get("wireTable").map(graft.core.WireTable.fromJson))
+      wireTable = opts.get("wireTable").map { json =>
+        val wt = graft.core.WireTable.fromJson(json)
+        // driver-side, once: an unsupported key shape must fail HERE with a
+        // clear message, not per-row inside retried executor tasks
+        WireGen.validateKeys(wt)
+        wt
+      })
   }
 }
 
@@ -357,19 +363,31 @@ object ChangelogReaderFactory {
 
   /** Serializer for an arbitrary wire table: hand-built InternalRows (no
     * per-row encoder reflection) shaped to [[ChangelogSource.wireSchemaFor]].
-    * Key values are injective in the event identity; other columns derive
-    * closed-form from the column TYPE ([[WireGen.wireValueFor]]).
+    * ALL type dispatch — key shape, MySQL-DDL parsing, enum/set labels — is
+    * hoisted into per-column closures at construction; the per-row path is
+    * one mix64 per column plus formatting. Key values are injective in the
+    * event identity ([[WireGen.keyGens]]); value columns derive closed-form
+    * from the column TYPE ([[WireGen.valueGen]]).
     */
   private[streaming] def genericWireEncoder(
       wt: graft.core.WireTable, c: GenConfig): ChangeEvent => InternalRow = {
     // path → original generator index (pathName enumeration order)
     val pathIdx: Map[String, Int] =
       (0 until c.pathsPerRepo).map(i => EventGen.pathName(i)._1 -> i).toMap
+    val keyGens = WireGen.keyGens(wt, pathIdx, c.pathsPerRepo)
+    val valGens = wt.orderedColumns.drop(wt.keys.size).map(WireGen.valueGen).toArray
+    val nKeys = keyGens.size
     def utf(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
-    def payload(r: graft.core.RepoFile, keysOnly: Boolean): GenericInternalRow =
-      new GenericInternalRow(
-        WireGen.genericValues(wt, r.repo, r.path, r.commit, keysOnly,
-          pathIdx, c.pathsPerRepo).map(v => utf(v): Any))
+    def payload(r: graft.core.RepoFile, keysOnly: Boolean): GenericInternalRow = {
+      val vals = new Array[Any](nKeys + valGens.length)
+      var i = 0
+      while (i < nKeys) { vals(i) = utf(keyGens(i)(r.repo, r.path)); i += 1 }
+      if (!keysOnly) {
+        val h0 = EventGen.mix64(r.commit.hashCode.toLong << 32 ^ r.repo.hashCode ^ r.path.hashCode)
+        while (i < vals.length) { vals(i) = utf(valGens(i - nKeys)(h0)); i += 1 }
+      }
+      new GenericInternalRow(vals)
+    }
     e =>
       new GenericInternalRow(Array[Any](
         utf(e.keyspace), utf(e.shard), utf(e.vgtid), e.event_seq, utf(e.op),
