@@ -31,6 +31,14 @@ object CdcStream {
       streamName: String = "repo_content",
       compactEvery: Option[Int] = None,
       maxFilesPerBucket: Int = 4,
+      // snapshot-expiry cadence: every N batches, drop snapshot metadata
+      // older than `keepSnapshots` versions and GC unreferenced data files,
+      // manifests, and crash-stranded temps. Without this a long-lived
+      // stream accretes one v<N>.json + O(touched groups) manifests per
+      // commit forever — the meta dir must stay bounded like the data and
+      // metrics dirs. None disables (keep every snapshot / external expiry).
+      expireEvery: Option[Int] = Some(32),
+      keepSnapshots: Int = 8,
       startingGtids: Map[String, Map[String, String]] = Map.empty,
       numBuckets: Int = 64,
       resumeState: Map[String, graft.core.ShardCursor] = Map.empty,
@@ -302,6 +310,12 @@ object CdcStream {
           rc.compactEvery.foreach { k =>
             if (k > 0 && batchId % k == k - 1) table.compact(rc.maxFilesPerBucket)
           }
+          // periodic snapshot expiry bounds the META dir (time-travel
+          // window = keepSnapshots); a replayed batch skips this branch,
+          // which only delays expiry by one cadence
+          rc.expireEvery.foreach { k =>
+            if (k > 0 && batchId % k == k - 1) table.expireSnapshots(rc.keepSnapshots)
+          }
         } else {
           // replay-skip after a crash BETWEEN snapshot commit and metrics
           // append: the batch's data and cursors are committed but its
@@ -335,6 +349,10 @@ object CdcStream {
     // same checkpoint (crash/resume tests, back-to-back syncs) doesn't trip
     // the concurrent-use guard
     q.stop()
+    // end-of-sync expiry: the in-loop cadence can leave up to expireEvery-1
+    // commits' metadata behind; one final pass bounds the meta dir to
+    // ~keepSnapshots × (groups + 1) files between syncs
+    if (batches > 0 && rc.expireEvery.nonEmpty) table.expireSnapshots(rc.keepSnapshots)
     batches
   }
 

@@ -39,6 +39,7 @@ object DriveSoak {
           maxEventsPerTrigger = Some(700L),
           endSeq = Some(head),
           compactEvery = Some(10), maxFilesPerBucket = 3,
+          expireEvery = Some(20), keepSnapshots = 6,
           numBuckets = 8))
       }
       println(s"soak: ${stops.size} resume passes, $batches micro-batches")
@@ -79,10 +80,18 @@ object DriveSoak {
       val dataFiles = t.currentSnapshot.get.fileCount
       val metricsFiles = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$base/t/metrics")).length
+      // the meta dir must stay bounded too: with periodic expiry, the
+      // surviving v<N>.json / manifest counts are O(keepSnapshots × groups),
+      // not O(total commits) — over 100+ commits this is the difference
+      // between ~60 files and ~800
+      val metaFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$base/t/meta")).length
       println(s"soak: data files=$dataFiles metrics files=$metricsFiles " +
-        s"version=${t.currentVersion.get}")
+        s"meta files=$metaFiles version=${t.currentVersion.get}")
       require(dataFiles <= 8 * 4, s"compaction failed to bound data files: $dataFiles")
       require(metricsFiles <= 40, s"metrics folds failed to bound files: $metricsFiles")
+      require(metaFiles <= 40 + 6 * 8,
+        s"snapshot expiry failed to bound meta files: $metaFiles")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
       println("DriveSoak OK")
     } finally spark.stop()
