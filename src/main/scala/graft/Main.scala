@@ -70,7 +70,7 @@ object Main {
     verb match {
       case "spec" =>
         println(
-          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"keyspace":{"type":"string","description":"source keyspace (namespace for stream state keys)"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"},"wire_columns":{"type":"string","description":"column-spec JSON file (same file discover --columns reads); the selected table's wire stream is ingested with typed landing"},"wire_table":{"type":"string","description":"table name to pick from --wire_columns (default: first table)"},"timeout_seconds":{"type":"integer","description":"timeout in seconds for a sync attempt; committed batches stand and the next sync resumes from checkpoint"}}}}""")
+          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"keyspace":{"type":"string","description":"source keyspace (namespace for stream state keys)"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"},"wire_columns":{"type":"string","description":"column-spec JSON file (same file discover --columns reads); the selected table's wire stream is ingested with typed landing"},"wire_table":{"type":"string","description":"table name to pick from --wire_columns (default: first table)"},"timeout_seconds":{"type":"integer","description":"timeout in seconds for a sync attempt; committed batches stand and the next sync resumes from checkpoint"},"max_retries":{"type":"integer","description":"the max number of times we continue syncing after potential errors (default 3)"}}}}""")
 
       case "check" =>
         val spark = session()
@@ -245,7 +245,10 @@ object Main {
                 streamName = wireTable.map(_.name).getOrElse("repo_content"),
                 timeoutSeconds = o.get("timeout_seconds").map(_.toLong))
               val t0 = System.nanoTime()
-              val batches = CdcStream.runAvailableNow(spark, rc)
+              // reference max_retries (spec.json:76-81): failed sync
+              // attempts resume from the checkpoint up to N times
+              val batches = CdcStream.runWithRetries(spark, rc,
+                maxRetries = o.getOrElse("max_retries", "3").toInt)
               val secs = (System.nanoTime() - t0) / 1e9
               val rows = t.read().count()
               val cursors = t.summaryValue("cursors").getOrElse("{}")

@@ -61,6 +61,9 @@ object CdcStream {
       // wire strings shaped to this table, applyBatch normalizes + lands
       // them typed, merge keys = the table's primary-key columns.
       wireTable: Option[graft.core.WireTable] = None,
+      // transient-fault injection path (forwarded to the source; used by
+      // the max_retries spec to simulate a dropped stream)
+      faultFile: Option[String] = None,
       // reference `timeout_seconds` (spec.json:83-90, Read loop step 5:
       // "End the stream when … the timeout kicks in"): bound one sync
       // attempt's wall time. Batches committed before the fence stand
@@ -124,6 +127,7 @@ object CdcStream {
       rc.endSeq.map("endSeq" -> _.toString) ++
       rc.shardSubset.map("shards" -> _) ++
       rc.wireTable.map("wireTable" -> _.toJson) ++
+      rc.faultFile.map("faultFile" -> _) ++
       (if (rc.wirePayload) Map("wirePayload" -> "true") else Map.empty) ++
       (if (rc.useReplica) Map("useReplica" -> "true") else Map.empty) ++
       (if (rc.useRdonly) Map("useRdonly" -> "true") else Map.empty) ++
@@ -268,6 +272,32 @@ object CdcStream {
     // stream lifetime (gen3 fills after maxFiles³ ≈ 32k× maxFiles batches)
     val t3 = foldTier("gen2-", "gen3-")
     t1 || t2 || t3
+  }
+
+  /** The reference's `max_retries` sync loop (`planetscale_edge_database
+    * .go:262-288` + `spec.json:76-81`, default 3): a sync attempt that
+    * fails with a retryable error is re-run FROM THE CHECKPOINT — batches
+    * committed before the failure stand (data + cursors), the replayed
+    * in-flight batch is a no-op (idempotence gate), and the stream resumes
+    * where it left off. After `maxRetries` consecutive failed attempts the
+    * last error propagates WITH everything already committed — the
+    * reference likewise returns the advanced cursor alongside the error.
+    * Returns total batches applied across attempts.
+    */
+  def runWithRetries(spark: SparkSession, rc: RunConfig, maxRetries: Int = 3): Long = {
+    var total = 0L
+    var attempt = 0
+    while (true) {
+      try {
+        total += runAvailableNow(spark, rc)
+        return total
+      } catch {
+        case e: Exception if attempt < maxRetries =>
+          attempt += 1
+          // fall through: next attempt resumes from the checkpoint
+      }
+    }
+    total // unreachable
   }
 
   /** Run one `Trigger.AvailableNow` pass: peek the head, drain to it in

@@ -87,7 +87,12 @@ object ChangelogSource {
       selectedShards: Seq[Int],
       // arbitrary wire table (discover→read loop): the source serves wire
       // strings shaped to THIS table's columns instead of repo_profile
-      wireTable: Option[graft.core.WireTable])
+      wireTable: Option[graft.core.WireTable],
+      // transient-fault injection (tests the reference's max_retries loop):
+      // if this path exists when a partition reader opens, ONE reader
+      // atomically consumes it and throws — simulating a dropped VStream /
+      // DeadlineExceeded. The retried sync then succeeds.
+      faultFile: Option[String])
 
   /** The reference's `shards` option (`spec.json:23-28`, validation
     * `planetscale_connection.go:66-83`): a comma-separated list of shard
@@ -168,7 +173,8 @@ object ChangelogSource {
         // clear message, not per-row inside retried executor tasks
         WireGen.validateKeys(wt)
         wt
-      })
+      },
+      faultFile = opts.get("faultFile"))
   }
 }
 
@@ -288,7 +294,7 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangelogReaderFactory(c, opts.wirePayload, opts.wireTable)
+    new ChangelogReaderFactory(c, opts.wirePayload, opts.wireTable, opts.faultFile)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -303,7 +309,7 @@ class ChangelogBatch(opts: ChangelogSource.SourceOptions) extends Batch {
     ChangelogPlanner.plan(c, opts.selectedShards, from, to, opts.rowsPerPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangelogReaderFactory(c, opts.wirePayload, opts.wireTable)
+    new ChangelogReaderFactory(c, opts.wirePayload, opts.wireTable, opts.faultFile)
 }
 
 object ChangelogPlanner {
@@ -326,9 +332,17 @@ case class ChangelogInputPartition(shardIdx: Int, from: Long, to: Long, c: GenCo
     extends InputPartition
 
 class ChangelogReaderFactory(c: GenConfig, wirePayload: Boolean = false,
-    wireTable: Option[graft.core.WireTable] = None)
+    wireTable: Option[graft.core.WireTable] = None,
+    faultFile: Option[String] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // injected transient fault (max_retries testing): exactly ONE reader —
+    // whoever wins the atomic delete — throws, like a dropped VStream; the
+    // retried sync attempt finds the file gone and proceeds
+    faultFile.foreach { f =>
+      if (java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+        throw new RuntimeException(s"injected transient stream fault ($f)")
+    }
     val p = partition.asInstanceOf[ChangelogInputPartition]
     new PartitionReader[InternalRow] {
       // one serializer closure chosen at construction (no per-row branching)

@@ -146,6 +146,34 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("max_retries (reference spec.json:76-81): a failed sync attempt is " +
+    "re-run from the checkpoint; committed work stands; parity after retry") {
+    val c = GenConfig(numEvents = 8000L, numShards = 2, numRepos = 30, pathsPerRepo = 20)
+    val base = tmpDir("retries")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val fault = java.nio.file.Paths.get(s"$base/fault")
+    java.nio.file.Files.createFile(fault)
+    val rc = CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
+      maxEventsPerTrigger = Some(2000L), faultFile = Some(fault.toString))
+
+    // without a retry loop, the injected dropped-stream fault fails the
+    // sync attempt loudly (and is consumed by exactly one reader)
+    intercept[Exception](CdcStream.runAvailableNow(spark, rc))
+    assert(!java.nio.file.Files.exists(fault), "fault was not consumed")
+
+    // re-arm and run WITH the reference's retry loop: attempt 1 fails,
+    // attempt 2 resumes from the checkpoint and drains to parity
+    java.nio.file.Files.createFile(fault)
+    val batches = CdcStream.runWithRetries(spark, rc, maxRetries = 3)
+    assert(batches > 0)
+    val digest = (df: DataFrame) =>
+      df.select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val got = digest(t.read())
+    val want = digest(ChangelogGen.expectedFinalState(spark, c))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("metrics table: one row per (batch, shard) with vgtid range + rows") {
     val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
     val base = tmpDir("metrics")
