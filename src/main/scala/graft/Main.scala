@@ -182,7 +182,8 @@ object Main {
                   shardSubset = o.get("sync_shards"),
                   timeoutSeconds = o.get("timeout_seconds").map(_.toLong)),
                 state = catalogState,
-                maxConcurrentStreams = o.getOrElse("stream_concurrency", "4").toInt)
+                maxConcurrentStreams = o.getOrElse("stream_concurrency", "4").toInt,
+                maxRetries = o.getOrElse("max_retries", "3").toInt)
               val secs = (System.nanoTime() - t0) / 1e9
               val per = catalog.streams.map { s =>
                 val t = new LakeTable(s"$root/${streamDir(s)}", spark)

@@ -381,7 +381,16 @@ final class LakeTable(val root: String, spark: SparkSession) {
     val cur = currentVersion.getOrElse(return)
     val f = fs
     val keepFrom = math.max(0L, cur - keepLast + 1)
-    val kept = (keepFrom to cur).map(snapshot)
+    // ONE metaDir listing drives everything: which snapshot jsons actually
+    // exist (earlier expiries with a smaller window may have deleted part of
+    // the keep range — never assume the range is contiguous), which
+    // manifests are on disk, and which temp leftovers to sweep. No
+    // per-version fs.exists probes — a long-lived table at version 10⁶ must
+    // not pay O(lifetime versions) RPCs per maintenance tick.
+    val metaListing = f.listStatus(metaDir).toSeq.map(_.getPath)
+    val versionsOnDisk = metaListing.map(_.getName)
+      .collect { case VersionJsonRe(v) => v.toLong }
+    val kept = versionsOnDisk.filter(_ >= keepFrom).sorted.map(snapshot)
     val keptManifests = kept.flatMap(_.manifests).distinctBy(_.path)
     val referenced = keptManifests.flatMap(readManifest).map(_.path).toSet
     // delete unreferenced data files
@@ -394,17 +403,16 @@ final class LakeTable(val root: String, spark: SparkSession) {
     // (.m-*.tmp / .v*.tmp / .version-hint.*.tmp — single-writer, so no
     // in-flight commit can own one while this maintenance pass runs)
     val keptManifestNames = keptManifests.map(m => new Path(root, m.path).getName).toSet
-    f.listStatus(metaDir).foreach { st =>
-      val name = st.getPath.getName
+    metaListing.foreach { p =>
+      val name = p.getName
       if (name.startsWith("m-") && !keptManifestNames.contains(name))
-        f.delete(st.getPath, false)
+        f.delete(p, false)
       else if (name.startsWith(".") && name.endsWith(".tmp"))
-        f.delete(st.getPath, false)
+        f.delete(p, false)
     }
-    // delete expired snapshot json
-    (0L until keepFrom).foreach { v =>
-      val p = new Path(metaDir, s"v$v.json")
-      if (f.exists(p)) f.delete(p, false)
+    // delete expired snapshot json (only those actually on disk)
+    versionsOnDisk.filter(_ < keepFrom).foreach { v =>
+      f.delete(new Path(metaDir, s"v$v.json"), false)
     }
   }
 

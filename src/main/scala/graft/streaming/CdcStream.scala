@@ -274,6 +274,16 @@ object CdcStream {
     t1 || t2 || t3
   }
 
+  /** Deterministic failures (validation, misconfiguration) must surface
+    * immediately — re-running the whole sync cannot change them. Everything
+    * else (task/stream/IO failures) is treated as transient, like the
+    * reference's DeadlineExceeded handling.
+    */
+  private def isRetryable(e: Throwable): Boolean = e match {
+    case _: IllegalArgumentException | _: IllegalStateException => false
+    case _ => true
+  }
+
   /** The reference's `max_retries` sync loop (`planetscale_edge_database
     * .go:262-288` + `spec.json:76-81`, default 3): a sync attempt that
     * fails with a retryable error is re-run FROM THE CHECKPOINT — batches
@@ -282,22 +292,31 @@ object CdcStream {
     * where it left off. After `maxRetries` consecutive failed attempts the
     * last error propagates WITH everything already committed — the
     * reference likewise returns the advanced cursor alongside the error.
-    * Returns total batches applied across attempts.
+    * Returns total batches applied ACROSS attempts (including those a
+    * failed attempt committed before dying), derived from the table's
+    * committed batch-id delta.
     */
   def runWithRetries(spark: SparkSession, rc: RunConfig, maxRetries: Int = 3): Long = {
-    var total = 0L
+    val table = new LakeTable(rc.tableRoot, spark)
+    def lastBatch: Long =
+      table.summaryValue(s"batch:${rc.streamId}").map(_.toLong).getOrElse(-1L)
+    val before = lastBatch
     var attempt = 0
     while (true) {
       try {
-        total += runAvailableNow(spark, rc)
-        return total
+        runAvailableNow(spark, rc)
+        return lastBatch - before
       } catch {
-        case e: Exception if attempt < maxRetries =>
+        case e: Exception if attempt < maxRetries && isRetryable(e) =>
           attempt += 1
-          // fall through: next attempt resumes from the checkpoint
+          // visible to operators: a sync that failed then recovered must
+          // leave a trace (the reference logs each retried attempt)
+          System.err.println(
+            s"[graft] sync attempt $attempt/$maxRetries failed, retrying from " +
+              s"checkpoint: ${e.getMessage}")
       }
     }
-    total // unreachable
+    0L // unreachable
   }
 
   /** Run one `Trigger.AvailableNow` pass: peek the head, drain to it in
@@ -373,16 +392,21 @@ object CdcStream {
       t
     }
     try q.awaitTermination()
-    finally watchdog.foreach(_.cancel())
-    // deregistration from the JVM-global active-checkpoint set can lag
-    // awaitTermination; stop() synchronizes it so an immediate restart on the
-    // same checkpoint (crash/resume tests, back-to-back syncs) doesn't trip
-    // the concurrent-use guard
-    q.stop()
+    finally {
+      watchdog.foreach(_.cancel())
+      // deregistration from the JVM-global active-checkpoint set can lag
+      // awaitTermination; stop() synchronizes it so an immediate restart on
+      // the same checkpoint (crash/resume tests, runWithRetries' next
+      // attempt, back-to-back syncs) doesn't trip the concurrent-use guard.
+      // Runs on the FAILURE path too — a retried attempt must not burn its
+      // retry on "query already active". Best-effort: a stop() error must
+      // not mask the original failure.
+      try q.stop() catch { case _: Exception => () }
+    }
     // end-of-sync expiry: the in-loop cadence can leave up to expireEvery-1
     // commits' metadata behind; one final pass bounds the meta dir to
     // ~keepSnapshots × (groups + 1) files between syncs
-    if (batches > 0 && rc.expireEvery.nonEmpty) table.expireSnapshots(rc.keepSnapshots)
+    if (batches > 0 && rc.expireEvery.exists(_ > 0)) table.expireSnapshots(rc.keepSnapshots)
     batches
   }
 
@@ -411,7 +435,8 @@ object CdcStream {
       catalog: graft.core.ConfiguredCatalog,
       rcFor: graft.core.ConfiguredStream => RunConfig,
       state: graft.core.SyncState = graft.core.SyncState.empty,
-      maxConcurrentStreams: Int = 4): Map[String, Long] = {
+      maxConcurrentStreams: Int = 4,
+      maxRetries: Int = 0): Map[String, Long] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     import scala.util.Try
@@ -457,7 +482,8 @@ object CdcStream {
                 rc.numBuckets)
             // keyed by stateKey (namespace:name): two streams with the same
             // table name in DIFFERENT namespaces must not collapse to one entry
-            s.stateKey -> runAvailableNow(spark, rc)
+            // (per-stream retry loop — the reference's max_retries is per Read)
+            s.stateKey -> runWithRetries(spark, rc, maxRetries)
           } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
         } }
       }

@@ -117,6 +117,11 @@ class LakeTableSpec extends AnyFunSuite with SparkSupport {
     assert(t.read().count() == rows, "current snapshot must survive expiry")
     assert(t.read(Some(cur - 1)).count() >= 0)  // kept window still time-travels
     assertThrows[Exception](t.read(Some(0L)))   // expired version gone
+    // a LARGER keep window after a smaller one must not crash on the
+    // already-deleted versions inside its range (the keep range is not
+    // assumed contiguous — earlier expiries may have holes in it)
+    t.expireSnapshots(keepLast = 5)
+    assert(t.read().count() == rows)
   }
 
   test("schema evolution: rename is metadata-only, add fills null") {
