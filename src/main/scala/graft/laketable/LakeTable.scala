@@ -390,6 +390,12 @@ final class LakeTable(val root: String, spark: SparkSession) {
     val metaListing = f.listStatus(metaDir).toSeq.map(_.getPath)
     val versionsOnDisk = metaListing.map(_.getName)
       .collect { case VersionJsonRe(v) => v.toLong }
+    // fail LOUD before deleting anything if the current snapshot json is
+    // not in the listing (partial copy, external deletion, inconsistent
+    // object-store listing): an empty kept set would otherwise compute an
+    // empty referenced set and silently delete every data file
+    require(versionsOnDisk.contains(cur),
+      s"expireSnapshots: current snapshot v$cur.json missing from $metaDir — refusing to GC")
     val kept = versionsOnDisk.filter(_ >= keepFrom).sorted.map(snapshot)
     val keptManifests = kept.flatMap(_.manifests).distinctBy(_.path)
     val referenced = keptManifests.flatMap(readManifest).map(_.path).toSet

@@ -274,14 +274,21 @@ object CdcStream {
     t1 || t2 || t3
   }
 
-  /** Deterministic failures (validation, misconfiguration) must surface
-    * immediately — re-running the whole sync cannot change them. Everything
-    * else (task/stream/IO failures) is treated as transient, like the
-    * reference's DeadlineExceeded handling.
+  /** Deterministic validation failures must surface immediately —
+    * re-running the whole sync cannot change them. Spark wraps in-query
+    * failures (StreamingQueryException → ForeachBatchUserFuncException →
+    * the real cause), so the WHOLE cause chain is inspected: any
+    * IllegalArgumentException in it (every validation `require` in the
+    * engine) is non-retryable. IllegalStateException is deliberately
+    * RETRYABLE — Spark's "query already active" checkpoint guard throws it
+    * on the transient deregistration race a retry exists to absorb; the
+    * engine's own rare ISEs just surface after the retry budget. Everything
+    * else (task/stream/IO failures) is transient, like the reference's
+    * DeadlineExceeded handling.
     */
-  private def isRetryable(e: Throwable): Boolean = e match {
-    case _: IllegalArgumentException | _: IllegalStateException => false
-    case _ => true
+  private def isRetryable(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+    !chain.exists(_.isInstanceOf[IllegalArgumentException])
   }
 
   /** The reference's `max_retries` sync loop (`planetscale_edge_database
@@ -312,8 +319,8 @@ object CdcStream {
           // visible to operators: a sync that failed then recovered must
           // leave a trace (the reference logs each retried attempt)
           System.err.println(
-            s"[graft] sync attempt $attempt/$maxRetries failed, retrying from " +
-              s"checkpoint: ${e.getMessage}")
+            s"[graft] stream ${rc.streamId}: sync attempt $attempt/$maxRetries " +
+              s"failed, retrying from checkpoint: ${e.getMessage}")
       }
     }
     0L // unreachable
@@ -436,7 +443,9 @@ object CdcStream {
       rcFor: graft.core.ConfiguredStream => RunConfig,
       state: graft.core.SyncState = graft.core.SyncState.empty,
       maxConcurrentStreams: Int = 4,
-      maxRetries: Int = 0): Map[String, Long] = {
+      // per-stream retry budget (the reference's max_retries is per Read;
+      // spec.json default 3)
+      maxRetries: Int = 3): Map[String, Long] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     import scala.util.Try
