@@ -70,7 +70,7 @@ object Main {
     verb match {
       case "spec" =>
         println(
-          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"keyspace":{"type":"string","description":"source keyspace (namespace for stream state keys)"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"},"wire_columns":{"type":"string","description":"column-spec JSON file (same file discover --columns reads); the selected table's wire stream is ingested with typed landing"},"wire_table":{"type":"string","description":"table name to pick from --wire_columns (default: first table)"},"timeout_seconds":{"type":"integer","description":"timeout in seconds for a sync attempt; committed batches stand and the next sync resumes from checkpoint"},"max_retries":{"type":"integer","description":"the max number of times we continue syncing after potential errors (default 3)"}}}}""")
+          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"keyspace":{"type":"string","description":"source keyspace (namespace for stream state keys)"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"},"wire_columns":{"type":"string","description":"column-spec JSON file (same file discover --columns reads); the selected table's wire stream is ingested with typed landing"},"wire_table":{"type":"string","description":"table name to pick from --wire_columns (default: first table)"},"timeout_seconds":{"type":"integer","description":"timeout in seconds for a sync attempt; committed batches stand and the next sync resumes from checkpoint"},"max_retries":{"type":"integer","description":"the max number of times we continue syncing after potential errors (default 3)"},"expire_every":{"type":"integer","description":"expire snapshot metadata every N batches (0 disables; default 32)"},"keep_snapshots":{"type":"integer","description":"time-travel window: snapshots retained by expiry (default 8)"}}}}""")
 
       case "check" =>
         val spark = session()
@@ -180,7 +180,9 @@ object Main {
                   wirePayload = o.get("wire").exists(_.toBoolean),
                   // per-sync options apply to EVERY stream of the catalog
                   shardSubset = o.get("sync_shards"),
-                  timeoutSeconds = o.get("timeout_seconds").map(_.toLong)),
+                  timeoutSeconds = o.get("timeout_seconds").map(_.toLong),
+                  expireEvery = Some(o.getOrElse("expire_every", "32").toInt),
+                  keepSnapshots = o.getOrElse("keep_snapshots", "8").toInt),
                 state = catalogState,
                 maxConcurrentStreams = o.getOrElse("stream_concurrency", "4").toInt,
                 maxRetries = o.getOrElse("max_retries", "3").toInt)
@@ -244,7 +246,9 @@ object Main {
                 shardSubset = o.get("sync_shards"),
                 wireTable = wireTable,
                 streamName = wireTable.map(_.name).getOrElse("repo_content"),
-                timeoutSeconds = o.get("timeout_seconds").map(_.toLong))
+                timeoutSeconds = o.get("timeout_seconds").map(_.toLong),
+                expireEvery = Some(o.getOrElse("expire_every", "32").toInt),
+                keepSnapshots = o.getOrElse("keep_snapshots", "8").toInt)
               val t0 = System.nanoTime()
               // reference max_retries (spec.json:76-81): failed sync
               // attempts resume from the checkpoint up to N times
