@@ -46,6 +46,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // host-speed canary BEFORE anything else (see HostCanary: the artifact
+    // must certify which speed window it was measured in)
+    val canaryBefore = HostCanary.best()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -68,6 +71,9 @@ object Bench {
     val runs = (1 to reps).map(_ => runCdcReplay(spark, gen))
     val events = runs.head._1
     val cdcSecs = runs.map(_._2).min
+    // canary between the replay block and the query suite: replay walls are
+    // only claimable if the window held through them
+    val canaryMid = HostCanary.best()
     val evPerSec = events / cdcSecs
 
     // operator suite — cache cleared between queries so one query's persist
@@ -80,13 +86,17 @@ object Bench {
       spark.catalog.clearCache()
       name -> secs
     }
+    val canaryAfter = HostCanary.best()
     val qs = (results :+ ("cdc_replay_bench" -> cdcSecs))
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + cdcSecs
     val repsJson = runs.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
-    // driver-contract shape + extra cdc throughput detail
+    // driver-contract shape + cdc throughput detail + the self-certifying
+    // host-speed canary (fixed single-thread sha256 workload; ~1 s in a
+    // fast window on this box — two bench artifacts are comparable iff
+    // their canaries are)
     val json =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cdc":{"events":$events,"seconds":$cdcSecs%.2f,"events_per_sec":$evPerSec%.0f,"reps_sec":$repsJson}}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cdc":{"events":$events,"seconds":$cdcSecs%.2f,"events_per_sec":$evPerSec%.0f,"reps_sec":$repsJson},"canary_sec":{"before":$canaryBefore%.3f,"mid":$canaryMid%.3f,"after":$canaryAfter%.3f}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
     // the bare JSON line is the LAST stdout line (contract: driver parses it)

@@ -70,7 +70,7 @@ object Main {
     verb match {
       case "spec" =>
         println(
-          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"keyspace":{"type":"string","description":"source keyspace (namespace for stream state keys)"},"maxPerTrigger":{"type":"integer"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"},"wire_columns":{"type":"string","description":"column-spec JSON file (same file discover --columns reads); the selected table's wire stream is ingested with typed landing"},"wire_table":{"type":"string","description":"table name to pick from --wire_columns (default: first table)"},"timeout_seconds":{"type":"integer","description":"timeout in seconds for a sync attempt; committed batches stand and the next sync resumes from checkpoint"},"max_retries":{"type":"integer","description":"the max number of times we continue syncing after potential errors (default 3)"},"expire_every":{"type":"integer","description":"expire snapshot metadata every N batches (0 disables; default 32)"},"keep_snapshots":{"type":"integer","description":"time-travel window: snapshots retained by expiry (default 8)"}}}}""")
+          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"keyspace":{"type":"string","description":"source keyspace (namespace for stream state keys)"},"maxPerTrigger":{"type":"integer","default":500000,"description":"micro-batch size bound in events (default 500000); batch boundaries are the commit points a fenced/partial sync keeps"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"},"wire_columns":{"type":"string","description":"column-spec JSON file (same file discover --columns reads); the selected table's wire stream is ingested with typed landing"},"wire_table":{"type":"string","description":"table name to pick from --wire_columns (default: first table)"},"timeout_seconds":{"type":"integer","default":300,"minimum":300,"description":"timeout in seconds for ONE sync attempt (default 300; values below 300 are clamped up, matching the reference spec); fenced attempts re-enter from the checkpoint up to max_retries total attempts, committed batches stand"},"max_retries":{"type":"integer","default":3,"description":"TOTAL sync attempts per read (default 3, minimum 1); when the budget is exhausted on retryable errors the sync returns committed progress and SYNC_SUMMARY carries partial:true (reference nil-error semantics)"},"expire_every":{"type":"integer","description":"expire snapshot metadata every N batches (0 disables; default 32)"},"keep_snapshots":{"type":"integer","description":"time-travel window: snapshots retained by expiry (default 8)"}}}}""")
 
       case "check" =>
         val spark = session()
@@ -169,9 +169,15 @@ object Main {
               // per-stream dirs keyed namespace__name: same-named tables in
               // different namespaces get distinct tables + checkpoints
               def streamDir(s: graft.core.ConfiguredStream) = s"${s.namespace}__${s.name}"
-              val batches = CdcStream.runCatalog(spark, catalog, s =>
+              val outcomes = CdcStream.runCatalogOutcomes(spark, catalog, s =>
                 CdcStream.RunConfig(genConfig(o), s"$root/${streamDir(s)}", s"$cp/${streamDir(s)}",
-                  maxEventsPerTrigger = o.get("maxPerTrigger").map(_.toLong),
+                  // bounded by DEFAULT at the CLI: with an unbounded single
+                  // micro-batch, the per-attempt timeout fence could cut the
+                  // same giant batch forever with zero committed progress —
+                  // batch boundaries are what make a fenced sync PARTIAL
+                  // instead of empty
+                  maxEventsPerTrigger =
+                    Some(o.getOrElse("maxPerTrigger", "500000").toLong),
                   parityMode = o.get("parity").exists(_.toBoolean),
                   startingGtids = startingGtids,
                   numBuckets = o.getOrElse("buckets", "64").toInt,
@@ -180,18 +186,25 @@ object Main {
                   wirePayload = o.get("wire").exists(_.toBoolean),
                   // per-sync options apply to EVERY stream of the catalog
                   shardSubset = o.get("sync_shards"),
-                  timeoutSeconds = o.get("timeout_seconds").map(_.toLong),
+                  // spec surface: default 300 s, minimum 300 (clamped loud)
+                  timeoutSeconds = CdcStream.specTimeoutSeconds(
+                    o.get("timeout_seconds").map(_.toLong)),
                   expireEvery = Some(o.getOrElse("expire_every", "32").toInt),
                   keepSnapshots = o.getOrElse("keep_snapshots", "8").toInt),
                 state = catalogState,
                 maxConcurrentStreams = o.getOrElse("stream_concurrency", "4").toInt,
-                maxRetries = o.getOrElse("max_retries", "3").toInt)
+                maxRetries = math.max(1, o.getOrElse("max_retries", "3").toInt))
               val secs = (System.nanoTime() - t0) / 1e9
+              val anyPartial = outcomes.values.exists(_.partial)
               val per = catalog.streams.map { s =>
                 val t = new LakeTable(s"$root/${streamDir(s)}", spark)
-                s"""{"stream":"${s.name}","namespace":"${s.namespace}","sync_mode":"${s.syncMode}","batches":${batches(s.stateKey)},"table_rows":${t.read().count()},"state":${t.summaryValue("cursors").getOrElse("{}")}}"""
+                val oc = outcomes(s.stateKey)
+                s"""{"stream":"${s.name}","namespace":"${s.namespace}","sync_mode":"${s.syncMode}","batches":${oc.batches},"partial":${oc.partial},"table_rows":${t.read().count()},"state":${t.summaryValue("cursors").getOrElse("{}")}}"""
               }.mkString(",")
-              println(f"""{"type":"SYNC_SUMMARY","seconds":$secs%.1f,"streams":[$per]}""")
+              // "partial":true = some stream exhausted its retry/timeout
+              // budget and stopped with committed progress (reference
+              // nil-error semantics) — machine-readable, scripts MUST check
+              println(f"""{"type":"SYNC_SUMMARY","seconds":$secs%.1f,"partial":$anyPartial,"streams":[$per]}""")
             case None =>
               val t = new LakeTable(root, spark)
               // --wire_columns <spec.json> [--wire_table <name>]: discover
@@ -231,7 +244,10 @@ object Main {
                 SyncState.fromJson(json).streams.values.flatten.toMap
               }.getOrElse(Map.empty[String, graft.core.ShardCursor])
               val rc = CdcStream.RunConfig(genConfig(o), root, cp,
-                maxEventsPerTrigger = o.get("maxPerTrigger").map(_.toLong),
+                // bounded by DEFAULT (see catalog path: an unbounded single
+                // batch + the per-attempt fence could mean zero progress)
+                maxEventsPerTrigger =
+                  Some(o.getOrElse("maxPerTrigger", "500000").toLong),
                 parityMode = o.get("parity").exists(_.toBoolean),
                 startingGtids = startingGtids,
                 resumeState = resumeState,
@@ -246,18 +262,25 @@ object Main {
                 shardSubset = o.get("sync_shards"),
                 wireTable = wireTable,
                 streamName = wireTable.map(_.name).getOrElse("repo_content"),
-                timeoutSeconds = o.get("timeout_seconds").map(_.toLong),
+                // spec surface: default 300 s, minimum 300 (clamped loud)
+                timeoutSeconds = CdcStream.specTimeoutSeconds(
+                  o.get("timeout_seconds").map(_.toLong)),
                 expireEvery = Some(o.getOrElse("expire_every", "32").toInt),
                 keepSnapshots = o.getOrElse("keep_snapshots", "8").toInt)
               val t0 = System.nanoTime()
-              // reference max_retries (spec.json:76-81): failed sync
-              // attempts resume from the checkpoint up to N times
-              val batches = CdcStream.runWithRetries(spark, rc,
-                maxRetries = o.getOrElse("max_retries", "3").toInt)
+              // reference max_retries (spec.json:76-81): TOTAL sync-attempt
+              // budget; exhaustion on retryable errors = partial sync
+              val outcome = CdcStream.runWithRetriesOutcome(spark, rc,
+                maxRetries = math.max(1, o.getOrElse("max_retries", "3").toInt))
               val secs = (System.nanoTime() - t0) / 1e9
               val rows = t.read().count()
               val cursors = t.summaryValue("cursors").getOrElse("{}")
-              println(f"""{"type":"SYNC_SUMMARY","batches":$batches,"seconds":$secs%.1f,"table_rows":$rows,"version":${t.currentVersion.get},"state":$cursors}""")
+              val errJson = outcome.lastError
+                .map(m => s""","last_error":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+                .getOrElse("")
+              // "partial":true = budget exhausted, committed progress stands
+              // (reference nil-error semantics) — scripts MUST check this
+              println(f"""{"type":"SYNC_SUMMARY","batches":${outcome.batches},"partial":${outcome.partial}$errJson,"seconds":$secs%.1f,"table_rows":$rows,"version":${t.currentVersion.get},"state":$cursors}""")
           }
         } finally spark.stop()
 

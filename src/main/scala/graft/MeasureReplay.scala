@@ -43,12 +43,14 @@ object MeasureReplay {
     spark.sparkContext.setLogLevel("ERROR")
     val c = GenConfig(numEvents = events, numShards = 16, numRepos = 2000,
       pathsPerRepo = 100, copyRows = events / 10, contentBlocks = 4)
+    println(f"CANARY ${HostCanary.best()}%.3f") // host-speed stamp (pre)
     replayOnce(spark, c.copy(numEvents = 50000L, copyRows = 5000L), 16) // warm-up
     val times = (1 to reps).map { i =>
       val s = replayOnce(spark, c, 64)
       println(f"REP $i: $s%.2f s")
       s
     }
+    println(f"CANARY ${HostCanary.best()}%.3f") // host-speed stamp (post)
     val total = events + graft.genlog.EventGen.copyPerShard(c) * c.numShards
     println(f"BEST ${times.min}%.4f $total")
     spark.stop()

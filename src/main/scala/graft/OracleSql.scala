@@ -533,6 +533,50 @@ object OracleSql {
          ('60-80',3,true),('80-a0',4,false),('a0-c0',5,false),('c0-e0',6,false),
          ('e0-',7,true)) AS t(shard, idx, selected)""",
 
+    // A14: the engine's serialized cursor bytes (compact JSON → base64,
+    // field order keyspace/shard/position/last_known_pk) reconstructed
+    // INDEPENDENTLY via string concat + to_base64, plus the copy-phase
+    // resume rule (LastKnownPk clears the GTID unless
+    // use_gtid_with_table_pks — planetscale_edge_database.go:312-314)
+    "cursor_roundtrip" ->
+      """WITH cases(case_id, keyspace, shard, position, repo, path) AS (VALUES
+           (1, 'ks', '-80', 'MySQL56/16b1ab85-3bbb-11ed-91a4-fd546a9a111d:1-5', NULL, NULL),
+           (2, 'ks', '80-', '', 'repo-7', 'src/pkg/a.go'),
+           (3, 'commerce', '-', 'MySQL56/aaaa:1-100,bbbb:3-9', 'r', 'p'),
+           (4, 'sakila', 'c0-', 'MySQL56/dead:1-2', NULL, NULL),
+           (5, 'ks', '40-80', '', NULL, NULL))
+         SELECT case_id, keyspace, shard, position,
+           repo IS NOT NULL AS has_pk,
+           to_base64(encode('{"keyspace":"' || keyspace || '","shard":"' || shard ||
+             '","position":"' || position || '"' ||
+             CASE WHEN repo IS NULL THEN ''
+                  ELSE ',"last_known_pk":{"repo":"' || repo || '","path":"' || path || '"}' END
+             || '}')) AS serialized,
+           true AS roundtrip_ok,
+           CASE WHEN repo IS NOT NULL THEN '' ELSE position END AS resume_position,
+           repo IS NOT NULL AS resume_keeps_pk,
+           position AS resume_position_with_pks
+         FROM cases""",
+
+    // A19: rdonly > replica > primary precedence; non-primary tiers serve a
+    // lagged head floored at 0; end_seq (-1 = uncapped) caps the true head
+    // of 50 first (planetscale_connection.go:43-48)
+    "tablet_routing" ->
+      """WITH grid AS (
+           SELECT r.use_replica, d.use_rdonly, l.lag_events, e.end_seq
+           FROM (VALUES (false),(true)) r(use_replica),
+                (VALUES (false),(true)) d(use_rdonly),
+                (VALUES (CAST(0 AS BIGINT)),(CAST(5 AS BIGINT)),(CAST(100 AS BIGINT))) l(lag_events),
+                (VALUES (CAST(-1 AS BIGINT)),(CAST(30 AS BIGINT))) e(end_seq))
+         SELECT use_replica, use_rdonly, lag_events, end_seq,
+           CASE WHEN use_rdonly THEN 'rdonly' WHEN use_replica THEN 'replica'
+                ELSE 'primary' END AS tablet_type,
+           CASE WHEN NOT use_rdonly AND NOT use_replica
+                THEN least(50, CASE WHEN end_seq = -1 THEN 50 ELSE end_seq END)
+                ELSE greatest(0, least(50, CASE WHEN end_seq = -1 THEN 50 ELSE end_seq END) - lag_events)
+           END AS head
+         FROM grid""",
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
          FROM documents GROUP BY 1""",
@@ -598,15 +642,26 @@ object OracleSql {
            WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
          WHERE rank <= 5""",
 
-    // resize: aspect-preserving fit into 32² — stub dims always have
-    // w ≥ 64 > 32 and w ≥ h, so resized = (32, floor(h·32/w)) exactly
+    // REAL-decode mirror: the engine encodes the deterministic image for
+    // doc_id (w = 8 + id%9, h = 8 + (id/9)%9, gray(x,y) = (7x+13y+id)%256)
+    // as genuine PNG bytes and decodes them with javax.imageio; this SQL
+    // re-derives every decoded stat in closed form — equality proves the
+    // round trip went through a real codec (a faked decode cannot
+    // reproduce the per-pixel sum of an image it never parsed)
     "multimodal_features" ->
-      """SELECT doc_id, n_bytes, w AS width, h AS height, format,
-         32 AS resized_w, greatest((h * 32) // w, 1) AS resized_h
-         FROM (SELECT doc_id, n_bytes, 64 + (n_bytes % 64) * 4 AS w,
-                 ((64 + (n_bytes % 64) * 4) * 3) // 4 AS h,
-                 CASE n_bytes % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-               FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents))""",
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+                    FROM documents),
+          px AS (SELECT doc_id, w, h,
+                   CAST(sum((x * 7 + y * 13 + doc_id) % 256) AS BIGINT) AS pix_sum
+                 FROM d, LATERAL (SELECT unnest(range(0, w)) AS x) ux,
+                         LATERAL (SELECT unnest(range(0, h)) AS y) uy
+                 GROUP BY doc_id, w, h)
+         SELECT doc_id, w AS width, h AS height, 'png' AS format, pix_sum,
+           CASE WHEN w <= 12 AND h <= 12 THEN w WHEN w >= h THEN 12
+                ELSE greatest((w * 12) // h, 1) END AS resized_w,
+           CASE WHEN w <= 12 AND h <= 12 THEN h WHEN w >= h THEN greatest((h * 12) // w, 1)
+                ELSE 12 END AS resized_h
+         FROM px""",
 
     // full IVF mirror: same seed centroids, cell assignment, nprobe probing,
     // cosine rank — algorithm parity, not a recall bound
@@ -635,11 +690,21 @@ object OracleSql {
            FROM cand JOIN emb a ON a.id = query_id JOIN emb b ON b.id = neighbor_id)
          WHERE rank <= 5""",
 
+    // container of 1 + id%5 length-prefixed PNG frames; every 2nd kept and
+    // really decoded (frame i's image seed = id*31 + i)
     "multimodal_frames" ->
-      """SELECT doc_id, unnest(range(0, frames, 4)) AS frame_idx, frames AS n_frames,
-              least(64, n - unnest(range(0, frames, 4)) * 64) AS frame_bytes, format
-         FROM (SELECT doc_id, n, (n + 63) // 64 AS frames,
-                 CASE n % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-               FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents))"""
+      """WITH docs AS (SELECT doc_id, 1 + doc_id % 5 AS n FROM documents),
+          frames AS (SELECT doc_id, n, f, doc_id * 31 + f AS s
+                     FROM docs, LATERAL (SELECT unnest(range(0, n, 2)) AS f) u),
+          dims AS (SELECT doc_id, f, n, s, 8 + s % 9 AS w, 8 + (s // 9) % 9 AS h
+                   FROM frames),
+          px AS (SELECT doc_id, f, n, w, h,
+                   CAST(sum((x * 7 + y * 13 + s) % 256) AS BIGINT) AS pix_sum
+                 FROM dims, LATERAL (SELECT unnest(range(0, w)) AS x) ux,
+                         LATERAL (SELECT unnest(range(0, h)) AS y) uy
+                 GROUP BY doc_id, f, n, w, h)
+         SELECT doc_id, f AS frame_idx, n AS n_frames, w AS frame_w, h AS frame_h,
+                pix_sum
+         FROM px"""
   )
 }

@@ -23,8 +23,11 @@ object ScalingBench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Run MeasureReplay in a child JVM; returns (bestSeconds, totalEvents). */
-  def measure(cpus: Int, events: Long, reps: Int): (Double, Long) = {
+  /** Run MeasureReplay in a child JVM; returns (bestSeconds, totalEvents,
+    * bestCanarySeconds) — the canary stamps which host-speed window the
+    * child measured in.
+    */
+  def measure(cpus: Int, events: Long, reps: Int): (Double, Long, Double) = {
     val java = sys.props("java.home") + "/bin/java"
     val cmd = (Seq(java, "-Xmx8g", "-Dspark.ui.enabled=false") ++ jdk17AddOpens ++
       Seq("-cp", sys.props("java.class.path"), "graft.MeasureReplay",
@@ -40,7 +43,12 @@ object ScalingBench {
       sys.error(s"child JVM failed for local[$cpus]")
     }
     val parts = best.split(" ")
-    (parts(1).toDouble, parts(2).toLong)
+    val canary = out.filter(_.startsWith("CANARY "))
+      .map(_.split(" ")(1).toDouble) match {
+      case Seq() => Double.NaN
+      case cs => cs.min
+    }
+    (parts(1).toDouble, parts(2).toLong, canary)
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,17 +61,21 @@ object ScalingBench {
     var bestN = Double.MaxValue
     var best4N = Double.MaxValue
     var total = 0L
+    var canaryN = Double.MaxValue
+    var canary4N = Double.MaxValue
     (1 to rounds).foreach { _ =>
-      val (sN, tot) = measure(n, events, reps)
-      val (s4N, _) = measure(4 * n, events, reps)
+      val (sN, tot, cN) = measure(n, events, reps)
+      val (s4N, _, c4N) = measure(4 * n, events, reps)
       total = tot
       bestN = math.min(bestN, sN)
       best4N = math.min(best4N, s4N)
+      canaryN = math.min(canaryN, cN)
+      canary4N = math.min(canary4N, c4N)
     }
     val rN = total / bestN
     val r4N = total / best4N
     val eff = r4N / (4.0 * rN)
     println(
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"n_cpus":$n,"4n_cpus":${4 * n},"events":$total,"throughput_n":$rN%.0f,"throughput_4n":$r4N%.0f,"seconds_n":$bestN%.2f,"seconds_4n":$best4N%.2f}""")
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"n_cpus":$n,"4n_cpus":${4 * n},"events":$total,"throughput_n":$rN%.0f,"throughput_4n":$r4N%.0f,"seconds_n":$bestN%.2f,"seconds_4n":$best4N%.2f,"canary_sec":{"n":$canaryN%.3f,"4n":$canary4N%.3f}}""")
   }
 }

@@ -552,6 +552,56 @@ object SparkEntry {
       .select(col("shard"), col("idx"), col("idx").isin(picked.toSeq: _*).as("selected"))
   }
 
+  /** A14 cursor (de)serialization truth table — the ACTUAL
+    * `ShardCursor.serialized` bytes (JSON→base64, the engine's analogue of
+    * the reference's protobuf→base64, `cmd/internal/types.go:112-137`)
+    * checked against an INDEPENDENT DuckDB reconstruction of the same JSON +
+    * base64, plus the copy-phase resume rule
+    * (`planetscale_edge_database.go:312-314`): a LastKnownPk clears the GTID
+    * unless `use_gtid_with_table_pks`.
+    */
+  private def cursorRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cases = Seq(
+      (1, "ks", "-80", "MySQL56/16b1ab85-3bbb-11ed-91a4-fd546a9a111d:1-5", None),
+      (2, "ks", "80-", "", Some(("repo-7", "src/pkg/a.go"))),
+      (3, "commerce", "-", "MySQL56/aaaa:1-100,bbbb:3-9", Some(("r", "p"))),
+      (4, "sakila", "c0-", "MySQL56/dead:1-2", None),
+      (5, "ks", "40-80", "", None))
+    cases.map { case (id, ks, sh, pos, pk) =>
+      val cur = graft.core.ShardCursor(ks, sh, pos,
+        pk.map { case (r, p) => graft.core.LastPk(r, p) })
+      val rt = graft.core.ShardCursor.deserialize(cur.serialized)
+      (id, ks, sh, pos, pk.isDefined, cur.serialized, rt == cur,
+        cur.forResume(useGtidWithTablePks = false).position,
+        cur.forResume(useGtidWithTablePks = false).lastPk.isDefined,
+        cur.forResume(useGtidWithTablePks = true).position)
+    }.toDF("case_id", "keyspace", "shard", "position", "has_pk", "serialized",
+      "roundtrip_ok", "resume_position", "resume_keeps_pk", "resume_position_with_pks")
+  }
+
+  /** A19 tablet-type routing truth table over the source's ACTUAL routing
+    * functions (`ChangelogSource.tabletTypeFor` / `routedHead`, used by
+    * `parseOptions` and the micro-batch stream's head): precedence
+    * rdonly > replica > primary (`planetscale_connection.go:43-48`) and the
+    * lagged head a non-primary tier serves (floored at 0; `end_seq` caps the
+    * true head first; -1 encodes "no cap").
+    */
+  private def tabletRouting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = for {
+      useReplica <- Seq(false, true)
+      useRdonly <- Seq(false, true)
+      lag <- Seq(0L, 5L, 100L)
+      endSeq <- Seq(Option.empty[Long], Some(30L))
+    } yield {
+      val tt = graft.streaming.ChangelogSource.tabletTypeFor(useReplica, useRdonly)
+      val head = graft.streaming.ChangelogSource.routedHead(50L, endSeq, tt, lag)
+      (useReplica, useRdonly, lag, endSeq.getOrElse(-1L), tt, head)
+    }
+    grid.toDF("use_replica", "use_rdonly", "lag_events", "end_seq", "tablet_type", "head")
+  }
+
   // --------------------------------------------------------------------- //
   // Training-data pipeline ops (documents / embeddings)
   // --------------------------------------------------------------------- //
@@ -714,28 +764,37 @@ object SparkEntry {
     V.lshTopK(emb.filter(col("id") < 8), emb, 5, dim = 64)
   }
 
-  /** Multimodal decode + feature-extract + RESIZE: binary payloads flow
-    * through a partition-wise typed decoder ([[graft.operators.Multimodal]]
-    * — one codec instance per partition, the batch shape real codecs need;
-    * the pixel decode itself is a clearly-marked deterministic stub since
-    * the container ships no image/audio libraries). Resize = largest
-    * aspect-preserving fit into 32×32 (integer math, oracled).
+  /** Multimodal decode + feature-extract + RESIZE with a REAL codec: binary
+    * PNG payloads (deterministic fixtures from
+    * [[graft.operators.Multimodal.pngPayload]], generated distributed, one
+    * per document) flow through a partition-wise `javax.imageio` decoder —
+    * one codec instance per partition, the batch shape all real codecs
+    * need. The oracle predicts decoded dimensions + per-pixel sums in
+    * closed form, so matching it proves the encode→decode round trip is
+    * genuine. Resize = largest aspect-preserving fit into 12×12.
     */
-  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Multimodal.decodeFeatures(
-      t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, graft.operators.Multimodal.pngPayload(id))))
+      .toDF("doc_id", "payload")
+    graft.operators.Multimodal.decodeFeatures(payloads, maxDim = 12L)
+  }
 
-  /** Multimodal FRAME-SAMPLING: payload treated as a fixed-frame-size video
-    * container; every k-th frame is sampled (one output row per kept frame)
-    * — the `mapPartitions`-with-per-partition-codec batch shape again, and
-    * the fan-out (explode-like 1→N) that real frame extraction has.
+  /** Multimodal FRAME-SAMPLING with real decode: the payload is a
+    * length-prefixed container of PNG frames
+    * ([[graft.operators.Multimodal.videoPayload]]); every 2nd frame is kept
+    * and REALLY decoded (skipped frames are demuxed, never decoded) — the
+    * `mapPartitions`-with-per-partition-codec batch shape again, and the
+    * 1→N fan-out real frame extraction has.
     */
-  private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Multimodal.sampleFrames(
-      t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
-      frameBytes = 64, every = 4)
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, graft.operators.Multimodal.videoPayload(id))))
+      .toDF("doc_id", "payload")
+    graft.operators.Multimodal.sampleFrames(payloads, every = 2)
+  }
 
   /** The composed TRAINING-SET SELECTION pipeline — what the text-analysis
     * ops exist for at 100 TB: language-ID gate → quality-score gate →
@@ -817,6 +876,8 @@ object SparkEntry {
     "catalog_evolution" -> catalogEvolution,
     "shard_enum" -> shardEnum,
     "shard_subset" -> shardSubset,
+    "cursor_roundtrip" -> cursorRoundtrip,
+    "tablet_routing" -> tabletRouting,
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,

@@ -92,7 +92,7 @@ object WireGen {
   def validateKeys(wt: graft.core.WireTable): Unit =
     wt.orderedColumns.take(wt.keys.size).foreach { k =>
       if (!keyIsNumeric(k) && !keyIsString(k))
-        throw new IllegalArgumentException(
+        throw new graft.core.GraftValidationException(
           s"unsupported merge-key column '${k.name} ${k.mysqlType}' for synthetic " +
             "wire generation: the key must land as an integer or string type " +
             "(boolean/decimal/temporal landings cannot carry an injective row identity)")

@@ -89,7 +89,14 @@ final class LakeTable(val root: String, spark: SparkSession) {
 
   // ---- snapshot IO -------------------------------------------------------
 
-  def currentVersion: Option[Long] = {
+  def currentVersion: Option[Long] = observedVersion(ignore = None)
+
+  /** Current version as [[currentVersion]], except the crash-recovery
+    * listing fallback can IGNORE one version — the snapshot json a write in
+    * progress has already renamed into place must not satisfy (or trip) the
+    * single-writer guard's reads during that same write.
+    */
+  private def observedVersion(ignore: Option[Long]): Option[Long] = {
     val f = fs
     if (f.exists(hintFile)) {
       val in = new BufferedReader(new InputStreamReader(f.open(hintFile), StandardCharsets.UTF_8))
@@ -102,6 +109,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
       val versions = f.listStatus(metaDir).toSeq
         .map(_.getPath.getName)
         .collect { case VersionJsonRe(v) => v.toLong }
+        .filterNot(v => ignore.contains(v))
       if (versions.isEmpty) None else Some(versions.max)
     }
   }
@@ -147,9 +155,32 @@ final class LakeTable(val root: String, spark: SparkSession) {
     */
   def allFiles(snap: Snapshot): Seq[DataFileEntry] = snap.manifests.flatMap(readManifest)
 
-  private def writeSnapshot(s: Snapshot): Unit = {
+  private[laketable] def writeSnapshot(s: Snapshot): Unit = {
     val f = fs
     f.mkdirs(metaDir)
+    // ---- single-writer guard -------------------------------------------
+    // The table contract is single-writer (the streaming driver); a
+    // MISCONFIGURED duplicate stream pointed at the same root would
+    // otherwise silently interleave last-writer-wins commits and lose data.
+    // Every commit expects the observed version to be exactly the one it
+    // built on (s.version - 1); the check runs before writing, again right
+    // before the pointer swap, and the hint is verified to be OURS after —
+    // steady interleaving by a second writer trips one of the three within
+    // a commit or two. (A plain-filesystem rename is not a conditional put,
+    // so a sub-millisecond photo-finish can still race — this guard detects
+    // the practical failure mode, it is not a distributed lock.)
+    val expectedPrev: Option[Long] = if (s.version == 0L) None else Some(s.version - 1)
+    def guard(stage: String): Unit = {
+      val cur = observedVersion(ignore = Some(s.version))
+      if (cur != expectedPrev)
+        throw new graft.core.GraftValidationException(
+          s"concurrent writer detected at $root ($stage): committing " +
+            s"v${s.version} expects current version " +
+            s"${expectedPrev.map(_.toString).getOrElse("<none>")} but found " +
+            s"${cur.map(_.toString).getOrElse("<none>")} — is a second stream " +
+            "pointed at this table root?")
+    }
+    guard("pre-write")
     // snapshot json lands via temp-write + rename: a crash after v<N>.json
     // but before the hint swap leaves a stale orphan that the REPLAYED batch
     // (same content, single writer) simply renames over — no
@@ -161,6 +192,7 @@ final class LakeTable(val root: String, spark: SparkSession) {
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmpJson, p))
       throw new IllegalStateException(s"failed to write snapshot v${s.version}")
+    guard("pre-swap")
     // atomic pointer swap: write tmp hint then rename over the old one
     val tmp = new Path(metaDir, s".version-hint.${UUID.randomUUID()}.tmp")
     val o2 = f.create(tmp, true)
@@ -168,6 +200,16 @@ final class LakeTable(val root: String, spark: SparkSession) {
     if (f.exists(hintFile)) f.delete(hintFile, false)
     if (!f.rename(tmp, hintFile))
       throw new IllegalStateException(s"atomic commit failed for v${s.version}")
+    // post-swap verification: the hint must still be OURS — if it is not, a
+    // concurrent writer swapped in between and one of the two commits has
+    // been silently superseded; fail loud so the operator untangles it NOW
+    val after = observedVersion(ignore = None)
+    if (!after.contains(s.version))
+      throw new graft.core.GraftValidationException(
+        s"concurrent writer detected at $root (post-swap): committed " +
+          s"v${s.version} but the version hint reads " +
+          s"${after.map(_.toString).getOrElse("<none>")} — a second writer " +
+          "overwrote the commit pointer")
   }
 
   // ---- create / read -----------------------------------------------------

@@ -64,6 +64,10 @@ object CdcStream {
       // transient-fault injection path (forwarded to the source; used by
       // the max_retries spec to simulate a dropped stream)
       faultFile: Option[String] = None,
+      // event-supply implementation (the [[ShardEventTransport]] seam):
+      // None = the synthetic closed-form changelog; a class name plugs a
+      // real VStream/binlog/Kafka tail into the same sync loop
+      transportClass: Option[String] = None,
       // reference `timeout_seconds` (spec.json:83-90, Read loop step 5:
       // "End the stream when … the timeout kicks in"): bound one sync
       // attempt's wall time. Batches committed before the fence stand
@@ -128,6 +132,7 @@ object CdcStream {
       rc.shardSubset.map("shards" -> _) ++
       rc.wireTable.map("wireTable" -> _.toJson) ++
       rc.faultFile.map("faultFile" -> _) ++
+      rc.transportClass.map("transportClass" -> _) ++
       (if (rc.wirePayload) Map("wirePayload" -> "true") else Map.empty) ++
       (if (rc.useReplica) Map("useReplica" -> "true") else Map.empty) ++
       (if (rc.useRdonly) Map("useRdonly" -> "true") else Map.empty) ++
@@ -171,11 +176,21 @@ object CdcStream {
     if (stats.isEmpty) return
     val dir = new org.apache.hadoop.fs.Path(s"$tableRoot/metrics")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a missing sidecar means the crash hit before the first append — write.
-    // Any OTHER read failure (e.g. a corrupt part file) must propagate: a
-    // blind append over unreadable-but-present rows would duplicate them
-    // with different wall_ms and break the deterministic-values contract.
-    val present = fs.exists(dir) &&
+    // a missing sidecar — or a dir the parquet writer created but died
+    // before committing any data file into (footerless: no part-*/gen*-*
+    // entries, only writer scaffolding) — means the crash hit before the
+    // first append completed: treat as absent and write. Probing for data
+    // files FIRST keeps this heal path out of spark.read's
+    // unable-to-infer-schema AnalysisException, which would wedge every
+    // retry. Any OTHER read failure (e.g. a corrupt part file among real
+    // data files) must propagate: a blind append over
+    // unreadable-but-present rows would duplicate them with different
+    // wall_ms and break the deterministic-values contract.
+    val hasDataFiles = fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("part-") || n.startsWith("gen")
+    }
+    val present = hasDataFiles &&
       readMetrics(spark, tableRoot).filter(s"batch_id = $batchId").limit(1).count() > 0
     if (!present) writeMetrics(spark, tableRoot, batchId, stats, wallMs, version)
   }
@@ -277,59 +292,157 @@ object CdcStream {
   /** Deterministic validation failures must surface immediately —
     * re-running the whole sync cannot change them. Spark wraps in-query
     * failures (StreamingQueryException → ForeachBatchUserFuncException →
-    * the real cause), so the WHOLE cause chain is inspected: any
-    * IllegalArgumentException in it (every validation `require` in the
-    * engine) is non-retryable. IllegalStateException is deliberately
+    * the real cause), so the WHOLE cause chain is inspected — but only the
+    * ENGINE'S OWN validation failures are non-retryable: a
+    * [[graft.core.GraftValidationException]], or an
+    * IllegalArgumentException RAISED BY graft code (a `graft.` frame in its
+    * creation stack — every validation `require` in the engine qualifies).
+    * An IAE from Spark/Hadoop internals stays retryable: those can signal
+    * transient conditions, and permanently failing a sync on them would
+    * trade availability for nothing. IllegalStateException is deliberately
     * RETRYABLE — Spark's "query already active" checkpoint guard throws it
     * on the transient deregistration race a retry exists to absorb; the
     * engine's own rare ISEs just surface after the retry budget. Everything
     * else (task/stream/IO failures) is transient, like the reference's
-    * DeadlineExceeded handling.
+    * gRPC-status handling.
     */
+  private def isEngineValidation(t: Throwable): Boolean =
+    t.isInstanceOf[graft.core.GraftValidationException] ||
+      (t.isInstanceOf[IllegalArgumentException] && {
+        // ORIGIN check, not whole-stack: the first non-JDK/non-scala frame
+        // of the creation stack decides who raised it. A Hadoop/Spark IAE
+        // thrown transitively UNDER a graft call frame (e.g. NetUtils
+        // wrapping a DNS blip beneath LakeTable.fs) must stay retryable —
+        // only an IAE the engine itself raised (Predef.require in graft
+        // code, explicit graft throw) is deterministic validation.
+        val origin = t.getStackTrace.find { f =>
+          val c = f.getClassName
+          !c.startsWith("java.") && !c.startsWith("jdk.") &&
+            !c.startsWith("sun.") && !c.startsWith("scala.")
+        }
+        origin.exists(_.getClassName.startsWith("graft."))
+      })
+
   private def isRetryable(e: Throwable): Boolean = {
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
-    !chain.exists(_.isInstanceOf[IllegalArgumentException])
+    !chain.exists(isEngineValidation)
   }
 
-  /** The reference's `max_retries` sync loop (`planetscale_edge_database
-    * .go:262-288` + `spec.json:76-81`, default 3): a sync attempt that
-    * fails with a retryable error is re-run FROM THE CHECKPOINT — batches
-    * committed before the failure stand (data + cursors), the replayed
-    * in-flight batch is a no-op (idempotence gate), and the stream resumes
-    * where it left off. After `maxRetries` consecutive failed attempts the
-    * last error propagates WITH everything already committed — the
-    * reference likewise returns the advanced cursor alongside the error.
-    * Returns total batches applied ACROSS attempts (including those a
-    * failed attempt committed before dying), derived from the table's
-    * committed batch-id delta.
+  /** One sync attempt's outcome: committed batches and whether the
+    * `timeout_seconds` watchdog fenced it (vs draining naturally).
     */
-  def runWithRetries(spark: SparkSession, rc: RunConfig, maxRetries: Int = 3): Long = {
+  private final case class SyncAttempt(batches: Long, timedOut: Boolean)
+
+  /** The reference's `timeout_seconds` SPEC surface (`spec.json:83-90`:
+    * default 300, minimum 300; the Read loop falls back to 5 minutes when
+    * unset, `planetscale_edge_database.go:232-236`): the CLI accepts any
+    * configured value but CLAMPS below-minimum values up to 300 with a loud
+    * warning, and applies the 300 s default when unset.
+    * `RunConfig.timeoutSeconds` itself stays a raw knob — tests fence at
+    * 1–4 s deliberately, and programmatic callers may opt out entirely.
+    */
+  def specTimeoutSeconds(configured: Option[Long]): Option[Long] = configured match {
+    case None => Some(300L)
+    case Some(t) if t < 300L =>
+      System.err.println(
+        s"[graft] timeout_seconds=$t is below the spec minimum of 300; clamped to 300")
+      Some(300L)
+    case some => some
+  }
+
+  /** The reference's `max_retries` × `timeout_seconds` sync loop (the Read
+    * loop, `planetscale_edge_database.go:240-287` + `spec.json:76-90`):
+    * `maxRetries` is the TOTAL sync-attempt budget (spec default 3 ⇒ at
+    * most 3 attempts). Each attempt is individually fenced by
+    * `rc.timeoutSeconds` — the reference arms one `context.WithTimeout`
+    * per `sync` call — and a fenced or transiently-failed attempt re-enters
+    * FROM THE CHECKPOINT: batches committed before the cut stand (data +
+    * cursors), the replayed in-flight batch is a no-op (idempotence gate),
+    * so forward progress accumulates for up to maxRetries × timeout of
+    * wall-clock, exactly like the reference's DeadlineExceeded-then-continue
+    * behavior.
+    *
+    * Exhausting the budget on a RETRYABLE error (or on the fence) returns
+    * committed progress WITHOUT throwing, after a loud log — the reference
+    * returns the advanced cursor with a NIL error once
+    * `syncCount >= maxRetries` for gRPC statuses (a partial sync, not a
+    * failure; the next scheduled sync resumes). Non-retryable engine
+    * validation errors propagate immediately (the reference's non-gRPC
+    * branch returns the error). Returns total batches applied ACROSS
+    * attempts, derived from the table's committed batch-id delta.
+    */
+  def runWithRetries(spark: SparkSession, rc: RunConfig, maxRetries: Int = 3): Long =
+    runWithRetriesOutcome(spark, rc, maxRetries).batches
+
+  /** Outcome of a retried sync: batches applied across attempts, whether
+    * the sync ended PARTIAL (retry/timeout budget exhausted with work
+    * possibly left — the reference's nil-error-after-maxRetries case), and
+    * the last retryable error message when one caused the exhaustion. A
+    * caller with no scheduler above it (the one-shot CLI) must surface
+    * `partial` — stderr logs alone would make a fully-failed sync
+    * indistinguishable from a successful one.
+    */
+  final case class SyncOutcome(batches: Long, partial: Boolean, lastError: Option[String])
+
+  def runWithRetriesOutcome(spark: SparkSession, rc: RunConfig,
+      maxRetries: Int = 3): SyncOutcome = {
+    require(maxRetries >= 1, s"max_retries must be >= 1 (got $maxRetries)")
     val table = new LakeTable(rc.tableRoot, spark)
     def lastBatch: Long =
       table.summaryValue(s"batch:${rc.streamId}").map(_.toLong).getOrElse(-1L)
     val before = lastBatch
     var attempt = 0
-    while (true) {
+    var continueSync = true
+    var partial = false
+    var lastError: Option[String] = None
+    while (continueSync) {
+      attempt += 1
       try {
-        runAvailableNow(spark, rc)
-        return lastBatch - before
-      } catch {
-        case e: Exception if attempt < maxRetries && isRetryable(e) =>
-          attempt += 1
-          // visible to operators: a sync that failed then recovered must
-          // leave a trace (the reference logs each retried attempt)
+        val a = runOnce(spark, rc)
+        if (!a.timedOut) continueSync = false // drained to the peeked head
+        else if (attempt >= maxRetries) {
           System.err.println(
-            s"[graft] stream ${rc.streamId}: sync attempt $attempt/$maxRetries " +
-              s"failed, retrying from checkpoint: ${e.getMessage}")
+            s"[graft] stream ${rc.streamId}: sync fenced by timeout on final " +
+              s"attempt $attempt/$maxRetries; returning committed progress (partial sync)")
+          partial = true
+          continueSync = false
+        } else {
+          // visible to operators, like the reference's per-sync log lines
+          System.err.println(
+            s"[graft] stream ${rc.streamId}: sync attempt $attempt/$maxRetries hit " +
+              s"the ${rc.timeoutSeconds.getOrElse(0L)}s fence, continuing from checkpoint")
+        }
+      } catch {
+        case e: Exception if isRetryable(e) =>
+          if (attempt >= maxRetries) {
+            System.err.println(
+              s"[graft] stream ${rc.streamId}: retry budget exhausted after " +
+                s"$attempt/$maxRetries attempts; returning committed progress " +
+                s"(partial sync, reference gRPC semantics): ${e.getMessage}")
+            partial = true
+            lastError = Some(String.valueOf(e.getMessage))
+            continueSync = false
+          } else {
+            System.err.println(
+              s"[graft] stream ${rc.streamId}: sync attempt $attempt/$maxRetries " +
+                s"failed, retrying from checkpoint: ${e.getMessage}")
+          }
       }
     }
-    0L // unreachable
+    SyncOutcome(lastBatch - before, partial, lastError)
   }
 
   /** Run one `Trigger.AvailableNow` pass: peek the head, drain to it in
     * micro-batches, commit, stop. Returns the number of batches applied.
+    * A `timeoutSeconds` fence bounds THIS pass as a whole (single-fence:
+    * committed batches stand, the call returns cleanly) — the
+    * reference-style continue-after-timeout composition lives in
+    * [[runWithRetries]], which re-arms the fence per attempt.
     */
-  def runAvailableNow(spark: SparkSession, rc: RunConfig): Long = {
+  def runAvailableNow(spark: SparkSession, rc: RunConfig): Long =
+    runOnce(spark, rc).batches
+
+  private def runOnce(spark: SparkSession, rc: RunConfig): SyncAttempt = {
     val table = new LakeTable(rc.tableRoot, spark)
     require(table.currentVersion.nonEmpty, "create the lake table first")
     // the COPY-phase PK watermark is (repo, path)-shaped; arbitrary wire
@@ -390,11 +503,14 @@ object CdcStream {
     // advances) and replays exactly-once on the next sync. Partial sync,
     // not a failure — the reference ends the VStream the same way
     // (planetscale_edge_database.go:206-209 step 5b).
+    val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
     val watchdog = rc.timeoutSeconds.map { secs =>
       val t = new java.util.Timer("graft-sync-timeout", true)
       t.schedule(new java.util.TimerTask {
-        override def run(): Unit =
+        override def run(): Unit = {
+          fenced.set(true)
           try q.stop() catch { case _: Exception => () }
+        }
       }, secs * 1000L)
       t
     }
@@ -414,7 +530,7 @@ object CdcStream {
     // commits' metadata behind; one final pass bounds the meta dir to
     // ~keepSnapshots × (groups + 1) files between syncs
     if (batches > 0 && rc.expireEvery.exists(_ > 0)) table.expireSnapshots(rc.keepSnapshots)
-    batches
+    SyncAttempt(batches, fenced.get)
   }
 
   /** The reference's `read` verb over a configured catalog
@@ -443,9 +559,19 @@ object CdcStream {
       rcFor: graft.core.ConfiguredStream => RunConfig,
       state: graft.core.SyncState = graft.core.SyncState.empty,
       maxConcurrentStreams: Int = 4,
+      maxRetries: Int = 3): Map[String, Long] =
+    runCatalogOutcomes(spark, catalog, rcFor, state, maxConcurrentStreams, maxRetries)
+      .map { case (k, o) => k -> o.batches }
+
+  def runCatalogOutcomes(
+      spark: SparkSession,
+      catalog: graft.core.ConfiguredCatalog,
+      rcFor: graft.core.ConfiguredStream => RunConfig,
+      state: graft.core.SyncState = graft.core.SyncState.empty,
+      maxConcurrentStreams: Int = 4,
       // per-stream retry budget (the reference's max_retries is per Read;
       // spec.json default 3)
-      maxRetries: Int = 3): Map[String, Long] = {
+      maxRetries: Int = 3): Map[String, SyncOutcome] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     import scala.util.Try
@@ -492,7 +618,7 @@ object CdcStream {
             // keyed by stateKey (namespace:name): two streams with the same
             // table name in DIFFERENT namespaces must not collapse to one entry
             // (per-stream retry loop — the reference's max_retries is per Read)
-            s.stateKey -> runWithRetries(spark, rc, maxRetries)
+            s.stateKey -> runWithRetriesOutcome(spark, rc, maxRetries)
           } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
         } }
       }

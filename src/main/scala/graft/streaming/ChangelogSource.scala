@@ -92,7 +92,11 @@ object ChangelogSource {
       // if this path exists when a partition reader opens, ONE reader
       // atomically consumes it and throws — simulating a dropped VStream /
       // DeadlineExceeded. The retried sync then succeeds.
-      faultFile: Option[String])
+      faultFile: Option[String],
+      // event supply — the transport seam ([[ShardEventTransport]]): heads
+      // and event ranges come ONLY from here; a real VStream/Kafka tail is
+      // one `transportClass` option away
+      transport: ShardEventTransport)
 
   /** The reference's `shards` option (`spec.json:23-28`, validation
     * `planetscale_connection.go:66-83`): a comma-separated list of shard
@@ -107,10 +111,31 @@ object ChangelogSource {
       .filter(_.nonEmpty).map(_.trim) // reference order: skip-blank, then trim
       .map { name =>
         live.getOrElse(name,
-          throw new IllegalArgumentException(
+          throw new graft.core.GraftValidationException(
             s"shard $name does not exist on the source database"))
       }
     picked.distinct.sorted
+  }
+
+  /** A19 tablet-type routing precedence (`planetscale_connection.go:43-48`,
+    * `planetscale_edge_database.go:221-226`): `use_rdonly` wins over
+    * `use_replica` wins over the default primary.
+    */
+  def tabletTypeFor(useReplica: Boolean, useRdonly: Boolean): String =
+    if (useRdonly) "rdonly"
+    else if (useReplica) "replica"
+    else "primary"
+
+  /** The head a given tablet tier serves: `endSeq` caps the true head (the
+    * binlog only has this much yet — kill/resume tests), and a non-primary
+    * tier lags it by `lagEvents` of replication delay, floored at 0. Offsets
+    * are tier-independent, so switching tiers on one checkpoint resumes.
+    */
+  def routedHead(total: Long, endSeq: Option[Long], tabletType: String,
+      lagEvents: Long): Long = {
+    val capped = endSeq.map(e => math.min(total, e)).getOrElse(total)
+    if (tabletType == "primary") capped
+    else math.max(0L, capped - lagEvents)
   }
 
   /** `startingGtids` option: the reference's `starting_gtids` JSON
@@ -131,18 +156,19 @@ object ChangelogSource {
     def l(k: String, d: Long) = opts.get(k).map(_.toLong).getOrElse(d)
     def i(k: String, d: Int) = opts.get(k).map(_.toInt).getOrElse(d)
     def dd(k: String, d: Double) = opts.get(k).map(_.toDouble).getOrElse(d)
+    val gen = GenConfig(
+      seed = l("seed", 42L),
+      numEvents = l("numEvents", 100000L),
+      numShards = i("numShards", 4),
+      numRepos = i("numRepos", 100),
+      pathsPerRepo = i("pathsPerRepo", 50),
+      keyspace = opts.getOrElse("keyspace", "ks"),
+      zipfSkew = dd("zipfSkew", 2.0),
+      deleteRatio = dd("deleteRatio", 0.05),
+      copyRows = l("copyRows", 0L),
+      contentBlocks = i("contentBlocks", 8))
     SourceOptions(
-      GenConfig(
-        seed = l("seed", 42L),
-        numEvents = l("numEvents", 100000L),
-        numShards = i("numShards", 4),
-        numRepos = i("numRepos", 100),
-        pathsPerRepo = i("pathsPerRepo", 50),
-        keyspace = opts.getOrElse("keyspace", "ks"),
-        zipfSkew = dd("zipfSkew", 2.0),
-        deleteRatio = dd("deleteRatio", 0.05),
-        copyRows = l("copyRows", 0L),
-        contentBlocks = i("contentBlocks", 8)),
+      gen,
       maxEventsPerTrigger = l("maxEventsPerTrigger", Long.MaxValue),
       rowsPerPartition = l("rowsPerPartition", 250000L),
       endSeq = opts.get("endSeq").map(_.toLong),
@@ -155,12 +181,9 @@ object ChangelogSource {
           e.getKey -> (e.getValue.get("repo").asText(), e.getValue.get("path").asText())
         }.toMap
       }.getOrElse(Map.empty),
-      // A19 tablet-type routing precedence: rdonly > replica > primary
-      // (reference planetscale_connection.go:43-48)
-      tabletType =
-        if (opts.get("useRdonly").exists(_.toBoolean)) "rdonly"
-        else if (opts.get("useReplica").exists(_.toBoolean)) "replica"
-        else "primary",
+      tabletType = tabletTypeFor(
+        useReplica = opts.get("useReplica").exists(_.toBoolean),
+        useRdonly = opts.get("useRdonly").exists(_.toBoolean)),
       replicaLagEvents = l("replicaLagEvents", 0L),
       wirePayload = opts.get("wirePayload").exists(_.toBoolean) ||
         opts.contains("wireTable"),
@@ -174,7 +197,8 @@ object ChangelogSource {
         WireGen.validateKeys(wt)
         wt
       },
-      faultFile = opts.get("faultFile"))
+      faultFile = opts.get("faultFile"),
+      transport = ShardEventTransport.forConfig(gen, opts.get("transportClass")))
   }
 }
 
@@ -219,18 +243,15 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private val c = opts.gen
 
-  /** Head of the simulated binlog per shard (A2 peek target). A non-primary
-    * tablet tier (A19: `use_replica`/`use_rdonly` route the VStream to a
-    * replica, `planetscale_edge_database.go:507-519`) serves a LAGGED head —
-    * replication delay expressed in events; offsets are tier-independent, so
-    * switching tiers on the same checkpoint just resumes.
+  /** Head of the binlog per shard, from the transport's peek (A2). A
+    * non-primary tablet tier (A19: `use_replica`/`use_rdonly` route the
+    * VStream to a replica, `planetscale_edge_database.go:507-519`) serves a
+    * LAGGED head — replication delay expressed in events; offsets are
+    * tier-independent, so switching tiers on the same checkpoint resumes.
     */
-  private def head(shardIdx: Int): Long = {
-    val total = EventGen.totalPerShard(shardIdx, c)
-    val capped = opts.endSeq.map(e => math.min(total, e)).getOrElse(total)
-    if (opts.tabletType == "primary") capped
-    else math.max(0L, capped - opts.replicaLagEvents)
-  }
+  private def head(shardIdx: Int): Long =
+    ChangelogSource.routedHead(opts.transport.head(shardIdx), opts.endSeq,
+      opts.tabletType, opts.replicaLagEvents)
 
   private def fullHead: ChangelogOffset =
     ChangelogOffset(opts.selectedShards.map(i => i -> head(i)).toMap)
@@ -294,7 +315,8 @@ class ChangelogMicroBatchStream(opts: ChangelogSource.SourceOptions)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangelogReaderFactory(c, opts.wirePayload, opts.wireTable, opts.faultFile)
+    new ChangelogReaderFactory(c, opts.transport, opts.wirePayload, opts.wireTable,
+      opts.faultFile)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -305,11 +327,12 @@ class ChangelogBatch(opts: ChangelogSource.SourceOptions) extends Batch {
   private val c = opts.gen
   override def planInputPartitions(): Array[InputPartition] = {
     val from = opts.selectedShards.map(_ -> 0L).toMap
-    val to = opts.selectedShards.map(i => i -> EventGen.totalPerShard(i, c)).toMap
+    val to = opts.selectedShards.map(i => i -> opts.transport.head(i)).toMap
     ChangelogPlanner.plan(c, opts.selectedShards, from, to, opts.rowsPerPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangelogReaderFactory(c, opts.wirePayload, opts.wireTable, opts.faultFile)
+    new ChangelogReaderFactory(c, opts.transport, opts.wirePayload, opts.wireTable,
+      opts.faultFile)
 }
 
 object ChangelogPlanner {
@@ -331,7 +354,14 @@ object ChangelogPlanner {
 case class ChangelogInputPartition(shardIdx: Int, from: Long, to: Long, c: GenConfig)
     extends InputPartition
 
-class ChangelogReaderFactory(c: GenConfig, wirePayload: Boolean = false,
+/** Reader factory — consumes event supply ONLY through the
+  * [[ShardEventTransport]] seam (the reference's sync loop likewise consumes
+  * only the `VitessClient` interface); this factory owns just the
+  * row ENCODING (typed / wire / generic-wire envelope) and test fault
+  * injection.
+  */
+class ChangelogReaderFactory(c: GenConfig, transport: ShardEventTransport,
+    wirePayload: Boolean = false,
     wireTable: Option[graft.core.WireTable] = None,
     faultFile: Option[String] = None)
     extends PartitionReaderFactory {
@@ -355,16 +385,10 @@ class ChangelogReaderFactory(c: GenConfig, wirePayload: Boolean = false,
           val ser = ExpressionEncoder[ChangeEvent]().createSerializer()
           e => ser(e)
       }
-      private val paths = EventGen.sortedPaths(p.c)
-      private var pos = p.from
+      private val it = transport.events(p.shardIdx, p.from, p.to)
       private var row: InternalRow = _
       override def next(): Boolean =
-        if (pos >= p.to) false
-        else {
-          row = encode(EventGen.eventAt(p.shardIdx, pos, p.c, paths))
-          pos += 1
-          true
-        }
+        it.hasNext && { row = encode(it.next()); true }
       override def get(): InternalRow = row
       override def close(): Unit = ()
     }

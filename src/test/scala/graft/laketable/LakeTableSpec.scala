@@ -29,6 +29,36 @@ class LakeTableSpec extends AnyFunSuite with SparkSupport {
     assert(t.summaryValue("k").contains("v"))
   }
 
+  test("single-writer guard: a second committer that built on a stale " +
+    "snapshot fails LOUDLY instead of silently interleaving") {
+    val root = tmpDir("laketable") + "/t"
+    val a = new LakeTable(root, spark)
+    a.create(ChangeEvent.rowSchema, numBuckets = 4)
+    // writer B reads the table at v0 — the state a misconfigured duplicate
+    // stream would hold while writer A commits underneath it
+    val b = new LakeTable(root, spark)
+    val staleBase = b.currentSnapshot.get
+
+    // writer A commits v1 normally
+    val df = someRows(5).withColumn("_bucket", LakeTable.bucketExpr(4))
+    a.commit(Set.empty, a.writeDataFiles(df, 0), Map("writer" -> "a"))
+    assert(a.currentVersion.contains(1L))
+
+    // writer B then tries to commit ITS v1, built on the stale v0 → the
+    // pre-write guard must trip (expected current <none>+1 = 0, found 1)
+    val staleCommit = staleBase.copy(version = 1L, summary = Map("writer" -> "b"))
+    val e = intercept[graft.core.GraftValidationException](b.writeSnapshot(staleCommit))
+    assert(e.getMessage.contains("concurrent writer detected"))
+    // writer A's commit is untouched
+    assert(a.currentVersion.contains(1L) && a.summaryValue("writer").contains("a"))
+
+    // and the NORMAL single-writer path is unaffected: B re-reads and
+    // commits v2 cleanly on top of A's v1
+    val df2 = someRows(3).withColumn("_bucket", LakeTable.bucketExpr(4))
+    b.commit(Set.empty, b.writeDataFiles(df2, 0), Map("writer" -> "b2"))
+    assert(b.currentVersion.contains(2L))
+  }
+
   test("commit replaces only the named buckets") {
     val t = newTable()
     val df = someRows(20).withColumn("_bucket", LakeTable.bucketExpr(4))

@@ -174,6 +174,56 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("max_retries exhaustion on a retryable error returns committed " +
+    "progress WITHOUT throwing (reference: nil error once syncCount >= " +
+    "maxRetries for gRPC statuses — partial sync, not a failure)") {
+    val c = GenConfig(numEvents = 8000L, numShards = 2, numRepos = 30, pathsPerRepo = 20)
+    val base = tmpDir("retrybudget")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val fault = java.nio.file.Paths.get(s"$base/fault")
+    java.nio.file.Files.createFile(fault)
+    val rc = CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
+      maxEventsPerTrigger = Some(2000L), faultFile = Some(fault.toString))
+    // budget of ONE total attempt: the injected fault consumes it → the
+    // error is swallowed with committed progress returned, not rethrown
+    val partial = CdcStream.runWithRetries(spark, rc, maxRetries = 1)
+    assert(partial >= 0L)
+    assert(!java.nio.file.Files.exists(fault), "fault was not consumed")
+    // the NEXT scheduled sync (reference: Airbyte re-invokes read) resumes
+    // from the checkpoint and drains to parity
+    CdcStream.runWithRetries(spark, rc, maxRetries = 3)
+    assertParity(t, ChangelogGen.expectedFinalState(spark, c))
+  }
+
+  test("timeout_seconds × max_retries compose like the reference Read loop: " +
+    "each attempt is fenced individually and a fenced attempt re-enters " +
+    "from the checkpoint, accumulating progress to parity") {
+    val c = GenConfig(numEvents = 20000L, numShards = 2, numRepos = 40, pathsPerRepo = 20)
+    val base = tmpDir("timeoutcompose")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    // ~10 micro-batches against a 4 s per-attempt fence (query start +
+    // checkpoint replay eat ~1-2 s of each window on a loaded host): a
+    // single fenced attempt cannot drain it, so reaching parity in ONE
+    // runWithRetries call proves fenced attempts re-enter (the reference
+    // continues syncing after DeadlineExceeded, up to max_retries × timeout
+    // of progress)
+    val rc = CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
+      maxEventsPerTrigger = Some(2000L), timeoutSeconds = Some(4L))
+    val batches = CdcStream.runWithRetries(spark, rc, maxRetries = 20)
+    assert(batches > 0)
+    assertParity(t, ChangelogGen.expectedFinalState(spark, c))
+  }
+
+  test("timeout_seconds spec surface: default 300 when unset, below-minimum " +
+    "clamped up to 300, valid values pass through (spec.json:83-90)") {
+    assert(CdcStream.specTimeoutSeconds(None).contains(300L))
+    assert(CdcStream.specTimeoutSeconds(Some(10L)).contains(300L))
+    assert(CdcStream.specTimeoutSeconds(Some(300L)).contains(300L))
+    assert(CdcStream.specTimeoutSeconds(Some(900L)).contains(900L))
+  }
+
   test("metrics table: one row per (batch, shard) with vgtid range + rows") {
     val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
     val base = tmpDir("metrics")

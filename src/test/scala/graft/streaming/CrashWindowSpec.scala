@@ -105,4 +105,31 @@ class CrashWindowSpec extends AnyFunSuite with SparkSupport {
       original.map(r => (r.getString(1), r.getString(2), r.getString(3),
         r.getString(4), r.getLong(5), r.getLong(8))))
   }
+
+  test("crash DURING the first-ever metrics append (dir created, no data " +
+    "file committed): the footerless dir is treated as absent and the " +
+    "backfill heals it instead of wedging on unable-to-infer-schema") {
+    val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
+    val base = tmpDir("crashfooterless")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val rc = CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
+      maxEventsPerTrigger = Some(2000L))
+    CdcStream.runAvailableNow(spark, rc)
+    val lastBatch = CdcStream.readMetrics(spark, s"$base/t")
+      .agg(max(col("batch_id"))).head.getLong(0)
+
+    // simulate: the parquet writer created the dir (maybe scaffolding too)
+    // but died before committing ANY data file footer into it
+    val metricsDir = Paths.get(s"$base/t/metrics")
+    Files.list(metricsDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .foreach(p => Files.deleteIfExists(p))
+    Files.createDirectories(metricsDir.resolve("_temporary"))
+    // spark.read.parquet on this dir would throw AnalysisException — the
+    // probe must classify it as ABSENT and write, not fail every retry
+    CdcStream.backfillMetrics(spark, s"$base/t", t, lastBatch)
+    assert(CdcStream.readMetrics(spark, s"$base/t")
+      .filter(col("batch_id") === lastBatch).count() > 0,
+      "footerless dir was not healed")
+  }
 }
