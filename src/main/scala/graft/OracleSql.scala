@@ -201,6 +201,43 @@ object OracleSql {
        |${p}d AS (SELECT *, xor(CAST(${p}_x3 AS UBIGINT), CAST(${p}_x3 AS UBIGINT) >> 31) AS ${p}_h FROM ${p}c)""".stripMargin
   }
 
+  /** CTE stages computing a plain splitmix64 `mix64(in)` of UBIGINT
+    * expression `in` as column `${p}_h` (UBIGINT) — the variable-input
+    * sibling of [[h64Stages]] (which folds its inner mixes into a
+    * constant); used where the oracle must re-derive mix64 chains whose
+    * inputs are themselves SQL-computed (the shard-UUID mirror).
+    */
+  private def mix64Stages(p: String, prev: String, in: String): String =
+    s"""${p}a AS (SELECT *, (CAST($in AS HUGEINT) + 11400714819323198485) % $M64 AS ${p}_x1 FROM $prev),
+       |${p}b AS (SELECT *, ${mul64(xs(s"${p}_x1", 30), 0xbf58476d1ce4e5b9L)} AS ${p}_x2 FROM ${p}a),
+       |${p}c AS (SELECT *, ${mul64(xs(s"${p}_x2", 27), 0x94d049bb133111ebL)} AS ${p}_x3 FROM ${p}b),
+       |${p}d AS (SELECT *, xor(CAST(${p}_x3 AS UBIGINT), CAST(${p}_x3 AS UBIGINT) >> 31) AS ${p}_h FROM ${p}c)""".stripMargin
+
+  /** Full independent mirror of the committed end-of-replay cursors
+    * (`cdc_final_cursors`, seed 42 / 2 shards / 4000 catch-up events, no
+    * copy phase): the per-shard binlog-writer UUID is re-derived
+    * bit-for-bit (`ChangelogGen.shardUuid`'s two mix64 chains + printf
+    * layout + 36-char truncation), the end GNO from the catch-up closed
+    * form `(numEvents - i - 1) / numShards + 1`.
+    */
+  private val finalCursorsSql: String = {
+    s"""WITH shards AS (SELECT CAST(range AS UBIGINT) AS i FROM range(0, 2)),
+       |${mix64Stages("m1", "shards", "i")},
+       |${mix64Stages("m2", "m1d", "xor(CAST(42 AS UBIGINT), m1_h)")},
+       |${mix64Stages("m3", "m2d", "CAST(42 * 31 AS UBIGINT) + i")},
+       |hv AS (SELECT i, CAST(m2_h & 4294967295 AS BIGINT) AS h1,
+       |  CAST(m3_h & 4294967295 AS BIGINT) AS h2 FROM m3d),
+       |uu AS (SELECT i, substr(printf('%08x-%04x-11eb-%04x-%08x%04x',
+       |  h1, h2 & 65535, (h1 >> 8) & 65535, h2, h1), 1, 36) AS uuid FROM hv),
+       |gno AS (SELECT i, uuid, (4000 - i - 1) // 2 + 1 AS rank FROM uu)
+       |SELECT CASE i WHEN 0 THEN '-80' ELSE '80-' END AS shard,
+       |  'ks' AS keyspace,
+       |  'MySQL56/' || uuid || ':1-' || rank AS position,
+       |  CAST(rank AS BIGINT) AS rank,
+       |  false AS has_pk
+       |FROM gno""".stripMargin
+  }
+
   /** The full oracle for `cdc_replay_final_state` — parameters mirror the
     * query's GenConfig (events=4000, shards=2, repos=20 → 10 per shard,
     * paths=10, zipf=2.0, deleteRatio=0.05, seed=42, contentBlocks=8).
@@ -239,6 +276,50 @@ object OracleSql {
 
   val sql: Map[String, String] = Map(
     "cdc_replay_final_state" -> replayFinalStateSql,
+    "cdc_final_cursors" -> finalCursorsSql,
+
+    // A2 peek: heads from the copy/catch-up closed forms
+    // (copyPerShard = ceil(1000/2), catchup(i) = (4000-i-1)//2+1),
+    // endSeq caps first, non-primary tiers lag floored at 0
+    "peek_offsets" ->
+      """WITH g AS (
+           SELECT s.scenario, s.end_seq, s.lag, s.nonprimary, i.shard_idx
+           FROM (VALUES ('full', -1, 0, false), ('capped', 1500, 0, false),
+                        ('replica_lag', -1, 300, true),
+                        ('rdonly_capped_lag', 1500, 300, true))
+                s(scenario, end_seq, lag, nonprimary),
+                (VALUES (0),(1)) i(shard_idx)),
+          t AS (SELECT *, (1000 + 2 - 1) // 2 + (4000 - shard_idx - 1) // 2 + 1 AS total
+                FROM g),
+          capped AS (SELECT *,
+            CASE WHEN end_seq = -1 THEN total ELSE least(total, end_seq) END AS head0
+            FROM t)
+         SELECT scenario, shard_idx, CAST(0 AS BIGINT) AS initial_pos,
+           CAST(CASE WHEN nonprimary THEN greatest(0, head0 - lag) ELSE head0 END
+                AS BIGINT) AS head_pos
+         FROM capped""",
+
+    // A17 classification: engine validation non-retryable, everything
+    // transient (incl. FOREIGN IAEs) retryable
+    "retry_policy" ->
+      """SELECT * FROM (VALUES
+           (1, 'graft_validation', false),
+           (2, 'wrapped_graft_validation', false),
+           (3, 'transient_runtime', true),
+           (4, 'illegal_state', true),
+           (5, 'engine_require_iae', false),
+           (6, 'engine_parse_numberformat', false),
+           (7, 'foreign_iae', true),
+           (8, 'wrapped_foreign_iae', true)) AS t(case_id, label, retryable)""",
+
+    // A17 timeout_seconds spec surface (spec.json:83-90)
+    "timeout_clamp" ->
+      """SELECT * FROM (VALUES
+           ('unset', CAST(-1 AS BIGINT), CAST(300 AS BIGINT)),
+           ('below_min', CAST(10 AS BIGINT), CAST(300 AS BIGINT)),
+           ('at_min', CAST(300 AS BIGINT), CAST(300 AS BIGINT)),
+           ('above_min', CAST(900 AS BIGINT), CAST(900 AS BIGINT)))
+         AS t(label, configured, effective)""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,

@@ -602,6 +602,108 @@ object SparkEntry {
     grid.toDF("use_replica", "use_rdonly", "lag_events", "end_seq", "tablet_type", "head")
   }
 
+  /** A2 peek truth table over the ACTUAL DSv2 micro-batch stream: construct
+    * `ChangelogMicroBatchStream` from parsed source options and read its
+    * `initialOffset()` / `latestOffset()` per shard across the
+    * head-shaping scenarios (uncapped, `endSeq` cap, replica lag, rdonly +
+    * cap + lag composed). The oracle re-derives every head from the
+    * copy/catch-up closed forms — the peek is what the whole
+    * AvailableNow drain fences on (A4), so its numbers must be exact.
+    */
+  private def peekOffsets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Map("numEvents" -> "4000", "numShards" -> "2", "numRepos" -> "20",
+      "pathsPerRepo" -> "10", "copyRows" -> "1000")
+    val scenarios = Seq(
+      ("full", Map.empty[String, String]),
+      ("capped", Map("endSeq" -> "1500")),
+      ("replica_lag", Map("useReplica" -> "true", "replicaLagEvents" -> "300")),
+      ("rdonly_capped_lag",
+        Map("useRdonly" -> "true", "replicaLagEvents" -> "300", "endSeq" -> "1500")))
+    scenarios.flatMap { case (label, extra) =>
+      val stream = new graft.streaming.ChangelogMicroBatchStream(
+        graft.streaming.ChangelogSource.parseOptions(base ++ extra))
+      val init = stream.initialOffset()
+        .asInstanceOf[graft.streaming.ChangelogOffset].positions
+      val head = stream.latestOffset()
+        .asInstanceOf[graft.streaming.ChangelogOffset].positions
+      (0 until 2).map(i => (label, i, init.getOrElse(i, -1L), head.getOrElse(i, -1L)))
+    }.toDF("scenario", "shard_idx", "initial_pos", "head_pos")
+  }
+
+  /** A16 state sink: replay a full 2-shard changelog through the lake table
+    * and emit the TRANSACTIONALLY COMMITTED per-shard cursors from the
+    * snapshot summary. The oracle re-derives the complete position strings
+    * independently — the per-shard binlog-writer UUID bit-for-bit via a
+    * DuckDB splitmix64 mirror (HUGEINT limb arithmetic + printf), and the
+    * end GNO from the catch-up closed form — so a cursor that was off by
+    * one event, keyed wrong, or stamped with the wrong writer identity
+    * hash-mismatches.
+    */
+  private def cdcFinalCursors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-q").toString
+    val table = new LakeTable(s"$scratch/t", s)
+    table.create(ChangeEvent.rowSchema, numBuckets = 4)
+    CdcApply.replayAll(table, ChangelogGen.fullStream(s, c))
+    val st = graft.core.SyncState.fromJson(table.summaryValue("cursors").get)
+    val rows = st.streams(s"${c.keyspace}:repo_content").toSeq.sortBy(_._1)
+      .map { case (sh, cur) =>
+        (sh, cur.keyspace, cur.position, VGtid.rank(cur.position), cur.lastPk.isDefined)
+      }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+    rows.toDF("shard", "keyspace", "position", "rank", "has_pk")
+  }
+
+  /** A17 retry classification truth table over the ACTUAL `isRetryable`
+    * chain walk: engine validation (direct, wrapped, require-raised,
+    * parse NumberFormatException) is permanently non-retryable;
+    * transient/runtime/state errors and FOREIGN IllegalArgumentExceptions
+    * (raised outside graft code — e.g. Spark/Hadoop internals) retry.
+    */
+  private def retryPolicy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def engineRequire(): Exception =
+      try { require(false, "graft validation failure"); new Exception }
+      catch { case e: IllegalArgumentException => e }
+    def engineParse(): Exception =
+      try { "not-a-number".toLong; new Exception }
+      catch { case e: NumberFormatException => e }
+    def foreignIae(): Exception = {
+      val e = new IllegalArgumentException("spark-internal transient IAE")
+      e.setStackTrace(Array(new StackTraceElement(
+        "org.apache.spark.util.Utils", "checkArgument", "Utils.scala", 10)))
+      e
+    }
+    val cases: Seq[(Int, String, Exception)] = Seq(
+      (1, "graft_validation", new graft.core.GraftValidationException("bad config")),
+      (2, "wrapped_graft_validation", new RuntimeException("outer",
+        new RuntimeException("mid", new graft.core.GraftValidationException("inner")))),
+      (3, "transient_runtime", new RuntimeException("dropped stream")),
+      (4, "illegal_state", new IllegalStateException("query already active")),
+      (5, "engine_require_iae", engineRequire()),
+      (6, "engine_parse_numberformat", engineParse()),
+      (7, "foreign_iae", foreignIae()),
+      (8, "wrapped_foreign_iae", new RuntimeException("outer", foreignIae())))
+    cases.map { case (id, label, e) =>
+      (id, label, graft.streaming.CdcStream.isRetryable(e))
+    }.toDF("case_id", "label", "retryable")
+  }
+
+  /** A17 `timeout_seconds` spec surface: default 300 when unset,
+    * below-minimum clamped up, valid values pass through
+    * (`spec.json:83-90`); -1 encodes "unset".
+    */
+  private def timeoutClamp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(("unset", -1L), ("below_min", 10L), ("at_min", 300L), ("above_min", 900L))
+      .map { case (label, v) =>
+        val in = if (v < 0) None else Some(v)
+        (label, v, graft.streaming.CdcStream.specTimeoutSeconds(in).getOrElse(-1L))
+      }.toDF("label", "configured", "effective")
+  }
+
   // --------------------------------------------------------------------- //
   // Training-data pipeline ops (documents / embeddings)
   // --------------------------------------------------------------------- //
@@ -878,6 +980,10 @@ object SparkEntry {
     "shard_subset" -> shardSubset,
     "cursor_roundtrip" -> cursorRoundtrip,
     "tablet_routing" -> tabletRouting,
+    "peek_offsets" -> peekOffsets,
+    "cdc_final_cursors" -> cdcFinalCursors,
+    "retry_policy" -> retryPolicy,
+    "timeout_clamp" -> timeoutClamp,
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,

@@ -323,7 +323,7 @@ object CdcStream {
         origin.exists(_.getClassName.startsWith("graft."))
       })
 
-  private def isRetryable(e: Throwable): Boolean = {
+  private[graft] def isRetryable(e: Throwable): Boolean = {
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
     !chain.exists(isEngineValidation)
   }
