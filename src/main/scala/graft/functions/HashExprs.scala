@@ -91,6 +91,71 @@ object SimHash64Expr {
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens), md5Tokens = true))
 }
 
+/** Distinct character k-shingles of a string — custom Catalyst expression
+  * because the HOF formulation (`array_distinct(transform(sequence(…),
+  * i => substr(text, i, k)))`) evaluates the lambda INTERPRETED per element
+  * and re-scans the string from the start for every substr: profiled at
+  * sf0.1 it was the single most expensive stage of the near-dup pipeline
+  * (~8 s of a 8.6 s query). This compiles to one pass: char→byte offsets
+  * computed once, each shingle sliced directly from the byte array, dedup
+  * via an insertion-ordered set (matching `array_distinct`'s
+  * first-occurrence order). Semantics identical to the HOF form, including
+  * the `length < k → [whole text]` edge and codepoint (not byte) windows.
+  */
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1 (got $k)")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+    }
+  }
+  override def nullSafeEval(v: Any): Any =
+    ShinglesExpr.shingles(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShinglesExpr.shingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+object ShinglesExpr {
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val len = text.numChars()
+    if (len < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](text.clone()))
+    val bytes = text.getBytes
+    // char index → byte offset, one pass (UTF-8 windows are CODEPOINT
+    // windows, like substr)
+    val starts = new Array[Int](len + 1)
+    var b = 0
+    var c = 0
+    while (c < len) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    starts(len) = bytes.length
+    val n = len - k + 1
+    val seen = new java.util.LinkedHashSet[UTF8String](math.max(16, n * 2))
+    var i = 0
+    while (i < n) {
+      seen.add(UTF8String.fromBytes(bytes, starts(i), starts(i + k) - starts(i)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def shingles(text: Column, k: Int): Column =
+    GraftBridge.column(ShinglesExpr(GraftBridge.expression(text), k))
+}
+
 /** MinHash signature of a shingle array — custom Catalyst expression because
   * Spark's higher-order functions (transform/aggregate) evaluate interpreted
   * per element, which makes `numHashes × shingles` string hashing ~10× slower

@@ -110,12 +110,12 @@ object TextFunctions {
     }._1
   }
 
-  /** Character k-shingles of the text (codegen'd: sequence + substr). */
-  def shingles(text: Column, k: Int): Column =
-    when(length(text) < k, array(substring(text, 1, k)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), length(text) - (k - 1)),
-        i => substr(text, i, lit(k)))))
+  /** Distinct character k-shingles of the text — compiled single-pass
+    * custom expression ([[ShinglesExpr]]; the HOF
+    * `array_distinct(transform(sequence…, substr))` form evaluates
+    * interpreted per element and dominated the near-dup pipeline's wall).
+    */
+  def shingles(text: Column, k: Int): Column = ShinglesExpr.shingles(text, k)
 
   /** MinHash signature: `h` hash families over the shingle set. Compiled
     * custom expression ([[MinHashExpr]]) — the HOF formulation
