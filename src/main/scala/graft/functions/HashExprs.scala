@@ -139,7 +139,11 @@ object ShinglesExpr {
     }
     starts(len) = bytes.length
     val n = len - k + 1
-    val seen = new java.util.LinkedHashSet[UTF8String](math.max(16, n * 2))
+    // initial capacity capped: a megabyte-scale repetitive document must
+    // not allocate a multi-MB bucket table per row just to hold a few
+    // distinct shingles — let the set grow when the text is truly diverse
+    val seen = new java.util.LinkedHashSet[UTF8String](
+      math.min(1 << 16, math.max(16, n * 2)))
     var i = 0
     while (i < n) {
       seen.add(UTF8String.fromBytes(bytes, starts(i), starts(i + k) - starts(i)))
@@ -152,8 +156,15 @@ object ShinglesExpr {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Public surface keeps the old HOF formulation's implicit-cast behavior
+    * (`substr` coerced castable inputs to string): cast-to-string at the
+    * builder — a no-op for string columns after constant folding.
+    * (AbstractDataType is sql-private, so the expression itself cannot
+    * declare ImplicitCastInputTypes from outside Spark's package.)
+    */
   def shingles(text: Column, k: Int): Column =
-    GraftBridge.column(ShinglesExpr(GraftBridge.expression(text), k))
+    GraftBridge.column(ShinglesExpr(
+      GraftBridge.expression(text.cast(StringType)), k))
 }
 
 /** MinHash signature of a shingle array — custom Catalyst expression because

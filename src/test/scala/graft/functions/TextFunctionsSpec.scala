@@ -48,6 +48,23 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSupport {
     assert(short == Seq("ab"))
   }
 
+  test("shingles: CODEPOINT windows on multibyte text — parity with the " +
+    "substr-based HOF formulation the compiled expression replaced") {
+    // 2-byte (é, ö), 3-byte (汉, 字), and ASCII mixed; windows must slice
+    // on codepoints, never bytes, with first-occurrence dedup order
+    val texts = Seq("héllo wörld", "汉字abc汉字", "ééé", "aé汉aé汉")
+    val df = texts.toDF("t")
+    val got = df.select(TextFunctions.shingles($"t", 3)).as[Seq[String]].collect()
+    val want = df.select(
+      when(length($"t") < 3, array(substring($"t", 1, 3)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), length($"t") - 2), i => substr($"t", i, lit(3)))))
+    ).as[Seq[String]].collect()
+    assert(got.toSeq == want.toSeq)
+    // and a duplicate-window case keeps exactly the old dedup semantics
+    assert(got(2) == Seq("ééé").map(identity)) // "ééé" k=3 → one window
+  }
+
   test("minhash signature: deterministic, jaccard-correlated") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
       "the quick brown fox jumps over the lazy cat",
