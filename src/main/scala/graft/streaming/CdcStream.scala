@@ -41,6 +41,10 @@ object CdcStream {
       keepSnapshots: Int = 8,
       startingGtids: Map[String, Map[String, String]] = Map.empty,
       numBuckets: Int = 64,
+      // bucket-group size of the manifest tree when THIS config creates the
+      // table (0 = LakeTable's default max(1, min(64, numBuckets/8)));
+      // existing tables keep the value stored in their snapshot
+      bucketsPerManifest: Int = 0,
       resumeState: Map[String, graft.core.ShardCursor] = Map.empty,
       useGtidWithTablePks: Boolean = false,
       useReplica: Boolean = false,
@@ -614,7 +618,8 @@ object CdcStream {
                   .map(wt => graft.core.ChangeEvent.landingSchemaFor(wt, rc.includeMetadata))
                   .getOrElse(
                     graft.core.ChangeEvent.landingSchemaFor(rc.wirePayload, rc.includeMetadata)),
-                rc.numBuckets)
+                rc.numBuckets,
+                bucketsPerManifest = rc.bucketsPerManifest)
             // keyed by stateKey (namespace:name): two streams with the same
             // table name in DIFFERENT namespaces must not collapse to one entry
             // (per-stream retry loop — the reference's max_retries is per Read)

@@ -437,10 +437,13 @@ class CdcStreamSpec extends AnyFunSuite with SparkSupport {
       graft.core.ConfiguredStream("a", c.keyspace, "incremental"),
       graft.core.ConfiguredStream("b", c.keyspace, "full_refresh")))
     def rcFor(s: graft.core.ConfiguredStream) =
-      CdcStream.RunConfig(c, s"$base/${s.name}", s"$base/cp/${s.name}", numBuckets = 4)
+      CdcStream.RunConfig(c, s"$base/${s.name}", s"$base/cp/${s.name}", numBuckets = 4,
+        bucketsPerManifest = 2)
 
     val r1 = CdcStream.runCatalog(spark, cat, rcFor)
     assert(r1(s"${c.keyspace}:a") > 0 && r1(s"${c.keyspace}:b") > 0)
+    // the manifest-tree knob reaches the table runCatalog creates
+    assert(new LakeTable(s"$base/a", spark).currentSnapshot.get.bucketsPerManifest == 2)
     val want = ChangelogGen.expectedFinalState(spark, c)
     assertParity(new LakeTable(s"$base/a", spark), want)
     assertParity(new LakeTable(s"$base/b", spark), want)
