@@ -238,11 +238,15 @@ object OracleSql {
        |FROM gno""".stripMargin
   }
 
-  /** The full oracle for `cdc_replay_final_state` — parameters mirror the
-    * query's GenConfig (events=4000, shards=2, repos=20 → 10 per shard,
-    * paths=10, zipf=2.0, deleteRatio=0.05, seed=42, contentBlocks=8).
+  /** Shared CTE body deriving the replayed FINAL TABLE STATE entirely in
+    * DuckDB — parameters mirror the queries' GenConfig (events=4000,
+    * shards=2, repos=20 → 10 per shard, paths=10, zipf=2.0,
+    * deleteRatio=0.05, seed=42, contentBlocks=8). Consumed by
+    * `cdc_replay_final_state` (repo/path/sha) and `cdc_stream_evolution`
+    * (same state streamed through the evolution trigger — the renamed
+    * `language` column re-derived from the path's p_idx encoding).
     */
-  private val replayFinalStateSql: String = {
+  private val replayBodySql: String = {
     val seed = 42L
     s"""WITH ids AS (SELECT CAST(range AS UBIGINT) AS uid, CAST(range AS HUGEINT) AS id
        |  FROM range(0, 4000)),
@@ -260,22 +264,38 @@ object OracleSql {
        |keyed AS (SELECT id, printf('repo-%04d', repo_idx) AS repo,
        |  printf('src/dir%d/file%d.%s', p_idx % 7, p_idx,
        |    ['scala','go','py','rs','js'][p_idx % 5 + 1]) AS path,
-       |  is_delete FROM row0),
-       |win AS (SELECT repo, path, arg_max(id, id) AS wid,
+       |  p_idx, is_delete FROM row0),
+       |win AS (SELECT repo, path, arg_max(id, id) AS wid, max(p_idx) AS p_idx,
        |  arg_max(CAST(is_delete AS INT), id) AS wdel FROM keyed GROUP BY repo, path),
-       |hashed AS (SELECT repo, path, wid,
+       |hashed AS (SELECT repo, path, wid, p_idx,
        |  sha256(repo || '|' || path || '|' || wid || '|$seed') AS h
        |  FROM win WHERE wdel = 0),
-       |body AS (SELECT repo, path,
+       |body AS (SELECT repo, path, p_idx,
        |  '// ' || repo || '/' || path || ' @v' || wid || chr(10) ||
        |  repeat('fn block_' || substr(h, 1, 12) || '() { return "' || substr(h, 13, 32) || '"; }' || chr(10),
        |    1 + CAST(CAST('0x' || substr(h, 1, 12) AS UBIGINT) % 8 AS INT)) AS content
-       |  FROM hashed)
-       |SELECT repo, path, sha256(content) AS sha FROM body""".stripMargin
+       |  FROM hashed)""".stripMargin
   }
+
+  private val replayFinalStateSql: String =
+    s"$replayBodySql\nSELECT repo, path, sha256(content) AS sha FROM body"
+
+  /** `cdc_stream_evolution`: the SAME final state, streamed through the
+    * mid-stream schema_version bump — content parity proves the evolution
+    * commits never disturbed the data, `language` (the renamed column) is
+    * re-derived from the p_idx→language table, and the added column is
+    * null everywhere (the source never delivered it).
+    */
+  private val streamEvolutionSql: String =
+    s"""$replayBodySql
+       |SELECT repo, path,
+       |  ['scala','go','python','rust','javascript'][p_idx % 5 + 1] AS language,
+       |  sha256(content) AS sha, true AS size_null
+       |FROM body""".stripMargin
 
   val sql: Map[String, String] = Map(
     "cdc_replay_final_state" -> replayFinalStateSql,
+    "cdc_stream_evolution" -> streamEvolutionSql,
     "cdc_final_cursors" -> finalCursorsSql,
 
     // A2 peek: heads from the copy/catch-up closed forms

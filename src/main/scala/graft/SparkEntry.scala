@@ -924,9 +924,48 @@ object SparkEntry {
       .select(col("doc_id"), col("predicted"), col("quality"), col("tokens"))
   }
 
+  private val avroV1 =
+    """{"type":"record","name":"repo_content","fields":[
+      {"name":"repo","type":"string"},{"name":"path","type":"string"},
+      {"name":"commit","type":"string"},{"name":"lang","type":"string"},
+      {"name":"content","type":"string"}]}"""
+  private val avroV2 =
+    """{"type":"record","name":"repo_content","fields":[
+      {"name":"repo","type":"string"},{"name":"path","type":"string"},
+      {"name":"commit","type":"string"},
+      {"name":"language","type":"string","aliases":["lang"]},
+      {"name":"content","type":"string"},
+      {"name":"size_bytes","type":["null","long"]}]}"""
+
+  /** STREAM-DRIVEN Avro evolution as a query: the same 2-shard changelog as
+    * `cdc_replay_final_state`, but streamed (AvailableNow micro-batches)
+    * with a mid-stream `schema_version` bump whose registry diff renames
+    * `lang`→`language` and adds `size_bytes`. The oracle re-derives the
+    * full final state INCLUDING the renamed column — proving the evolution
+    * commits disturbed no data, old files serve their values under the new
+    * name (field-id mapping), and the added column is null everywhere.
+    */
+  private def cdcStreamEvolution(s: SparkSession, dir: String): DataFrame = {
+    val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10,
+      schemaChangeAt = Some(2000L))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-q").toString
+    val table = new LakeTable(s"$scratch/t", s)
+    table.create(ChangeEvent.rowSchema, numBuckets = 4)
+    graft.streaming.CdcStream.runAvailableNow(s, graft.streaming.CdcStream.RunConfig(
+      c, s"$scratch/t", s"$scratch/cp",
+      maxEventsPerTrigger = Some(1200L),
+      expireEvery = None,
+      schemaRegistry = Map(1 -> avroV1, 2 -> avroV2)))
+    materializeAndClean(
+      table.read().select(col("repo"), col("path"), col("language"),
+        sha2(col("content"), 256).as("sha"), col("size_bytes").isNull.as("size_null")),
+      scratch)
+  }
+
   /** The engine itself as a query: replay a 2-shard changelog through the
-    * lake table and emit the final state digests (rows-only check; full
-    * parity is asserted in ScalaTest + DriveReplay).
+    * lake table and emit the final state digests — FULL oracle since r4
+    * (DuckDB re-derives splitmix64 draws, LWW winners, and content sha256
+    * independently).
     */
   private def cdcReplayFinalState(s: SparkSession, dir: String): DataFrame = {
     val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
@@ -963,6 +1002,7 @@ object SparkEntry {
     "cdc_snapshot_chunks" -> cdcSnapshotChunks,
     "cdc_stop_position" -> cdcStopPosition,
     "cdc_replay_final_state" -> cdcReplayFinalState,
+    "cdc_stream_evolution" -> cdcStreamEvolution,
     "cdc_normalized_ingest" -> cdcNormalizedIngest,
     "norm_enum" -> normEnum,
     "norm_set" -> normSet,

@@ -16,7 +16,12 @@ final case class ApplyResult(
     upserts: Long,
     deletes: Long,
     skipped: Boolean,
-    stats: Map[String, ShardStats] = Map.empty)
+    stats: Map[String, ShardStats] = Map.empty,
+    // highest wire schema_version among the batch's winners (recovered from
+    // the same staged provenance read as the cursors — no extra scan); the
+    // streaming driver compares it to the applied registry version to
+    // trigger Avro-driven evolution. 1 = base / parity mode.
+    maxSchemaVersion: Int = 1)
 
 /** Distributed CDC apply: the Spark re-imagining of the reference's
   * single-threaded consume loop (`cmd/internal/planetscale_edge_database.go:
@@ -224,7 +229,8 @@ object CdcApply {
     col("vgtid").as("_s_vgtid"), col("_rank").as("_s_rank"),
     col("event_seq").as("_s_seq"), col("is_copy_phase").as("_s_copy"),
     col("last_pk.repo").as("_s_pk_repo"), col("last_pk.path").as("_s_pk_path"),
-    col("_key_events").as("_s_key_events"))
+    col("_key_events").as("_s_key_events"),
+    col("schema_version").as("_s_schema_ver"))
 
   /** Per-shard stats aggregated from the staged LWW winners. Correct because
     * within a shard events are totally ordered by `event_seq`: the shard's
@@ -239,7 +245,7 @@ object CdcApply {
     winners
       .select(col("_s_keyspace"), col("_s_shard"), col("_s_vgtid"), col("_s_rank"),
         col("_s_seq"), col("_s_copy"), col("_s_pk_repo"), col("_s_pk_path"),
-        col("_s_key_events"))
+        col("_s_key_events"), col("_s_schema_ver"))
       .groupBy(col("_s_keyspace"), col("_s_shard")).agg(
         max_by(col("_s_vgtid"), struct(col("_s_rank"), col("_s_seq"))).as("_s_vend"),
         max(when(col("_s_copy"), lit(0)).otherwise(lit(1))).as("_s_catchup"),
@@ -247,7 +253,8 @@ object CdcApply {
           when(col("_s_copy"), col("_s_seq")).otherwise(lit(-1L))).as("_s_pk_repo2"),
         max_by(col("_s_pk_path"),
           when(col("_s_copy"), col("_s_seq")).otherwise(lit(-1L))).as("_s_pk_path2"),
-        sum(col("_s_key_events")).as("_s_rows"))
+        sum(col("_s_key_events")).as("_s_rows"),
+        max(col("_s_schema_ver")).as("_s_max_sv"))
 
   /** Per-shard stats by re-aggregating the RAW batch (second source scan) —
     * used only in parity mode, where deletes are filtered out before dedup
@@ -370,13 +377,17 @@ object CdcApply {
 
       // --- per-shard cursors/stats from a column-pruned read of the staged
       // winners (or, in parity mode, from a re-scan of the raw batch so
-      // dropped deletes still advance positions) ---
+      // dropped deletes still advance positions; evolution tracking stays
+      // at the base version there — parity mode models the reference's
+      // After-only comparison, not live schema changes) ---
+      var maxWireSv = 1
       val stats: Map[String, ShardStats] =
         if (conf.parityMode) statsFromEvents(events, prevState, streamName)
         else {
           val kinds = Seq("u", "d").flatMap(table.stagedKindDf(spark, stage, _))
           if (kinds.isEmpty) Map.empty
           else statsFromStaged(kinds.reduce(_.unionByName(_))).collect().map { r =>
+            maxWireSv = math.max(maxWireSv, r.getInt(7))
             statsFromRow(r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
               Option(r.getString(4)), Option(r.getString(5)), r.getLong(6), prevState,
               streamName)
@@ -440,7 +451,8 @@ object CdcApply {
           "cursors" -> merged.toJson,
           s"lineage:b$batchId" -> lineage),
         dropSummaryKeys = stale)
-      ApplyResult(committed, upsertCount, deleteCount, skipped = false, stats = stats)
+      ApplyResult(committed, upsertCount, deleteCount, skipped = false, stats = stats,
+        maxSchemaVersion = maxWireSv)
     } finally table.dropStage(stage)
   }
 

@@ -24,7 +24,12 @@ final case class GenConfig(
     zipfSkew: Double = 2.0,
     deleteRatio: Double = 0.05,
     copyRows: Long = 0L,
-    contentBlocks: Int = 8)
+    contentBlocks: Int = 8,
+    // source-side schema change: catch-up events with GLOBAL id >= this
+    // carry schema_version = 2 (the payload SHAPE stays v1 — MySQL keeps
+    // delivering rows under the old column layout until the reader's
+    // registry maps the bump to Avro-driven adds/renames on the table)
+    schemaChangeAt: Option[Long] = None)
 
 object ChangelogGen {
 

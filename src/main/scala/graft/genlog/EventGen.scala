@@ -169,7 +169,7 @@ object EventGen {
       after = after,
       is_copy_phase = false,
       last_pk = None,
-      schema_version = 1)
+      schema_version = if (c.schemaChangeAt.exists(id >= _)) 2 else 1)
   }
 
   /** Sorted path table (computed once per task; pathsPerRepo is small). */

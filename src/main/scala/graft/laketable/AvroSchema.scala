@@ -69,4 +69,25 @@ object AvroSchema {
     val (renames, adds) = diff(parse(oldJson), parse(newJson))
     table.evolveSchema(renames, adds)
   }
+
+  /** IDEMPOTENT evolution for the streaming trigger: renames whose source
+    * column is already gone (and target present) and adds already present
+    * are dropped from the diff; a fully-applied bump is a no-op with no
+    * commit. This is what makes a replayed crash window safe — a sync that
+    * died between applying the evolution and recording the watermark can
+    * re-run the step without tripping `evolveSchema`'s rename-source-missing
+    * validation or duplicating columns.
+    */
+  def evolveIfNeeded(table: LakeTable, oldJson: String, newJson: String): Snapshot = {
+    val (renames, adds) = diff(parse(oldJson), parse(newJson))
+    val cur = table.currentSnapshot
+      .getOrElse(throw new IllegalStateException("create() first"))
+    val names = cur.currentSchema.map(_.name).toSet
+    val pendingRenames = renames.filter { case (from, to) =>
+      names.contains(from) && !names.contains(to)
+    }
+    val pendingAdds = adds.filterNot { case (n, _) => names.contains(n) }
+    if (pendingRenames.isEmpty && pendingAdds.isEmpty) cur
+    else table.evolveSchema(pendingRenames, pendingAdds)
+  }
 }

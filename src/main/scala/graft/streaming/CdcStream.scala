@@ -77,7 +77,15 @@ object CdcStream {
       // attempt's wall time. Batches committed before the fence stand
       // (data + cursors), the query stops cleanly, and the NEXT sync
       // resumes from the checkpoint — a partial sync, never a failure.
-      timeoutSeconds: Option[Long] = None)
+      timeoutSeconds: Option[Long] = None,
+      // Avro schema registry (north-star "Avro-driven schema evolution"):
+      // wire schema_version → Avro record JSON. When a batch's winners
+      // carry a version above the applied watermark (summary
+      // `wire_schema_version`, default 1), each step's Avro diff is
+      // applied to the table as Iceberg-style adds/renames
+      // (metadata-only), then the watermark commits. Empty = evolution
+      // is external/manual (evolveSchema API), versions ignored.
+      schemaRegistry: Map[Int, String] = Map.empty)
 
   private def startingGtidsJson(g: Map[String, Map[String, String]]): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -131,6 +139,7 @@ object CdcStream {
       "copyRows" -> c.copyRows.toString,
       "contentBlocks" -> c.contentBlocks.toString,
       "rowsPerPartition" -> rc.rowsPerPartition.toString) ++
+      c.schemaChangeAt.map("schemaChangeAt" -> _.toString) ++
       rc.maxEventsPerTrigger.map("maxEventsPerTrigger" -> _.toString) ++
       rc.endSeq.map("endSeq" -> _.toString) ++
       rc.shardSubset.map("shards" -> _) ++
@@ -478,6 +487,30 @@ object CdcStream {
           writeMetrics(spark, rc.tableRoot, batchId, res.stats,
             (System.nanoTime() - t0) / 1000000L, res.snapshot.version)
           compactMetrics(spark, rc.tableRoot)
+          // stream-driven Avro evolution: the batch's winners announced a
+          // newer wire schema version — apply each registry step's diff
+          // (idempotent: a crash between the evolution commit and the
+          // watermark commit replays as a no-op; a crash after the BATCH
+          // commit but before this block re-triggers on the next applied
+          // batch, since versions are monotone in the stream). Data files
+          // are schema-version-tagged and name-mapped by field id either
+          // way, so landing before/after the evolution is equally correct.
+          if (rc.schemaRegistry.nonEmpty && res.maxSchemaVersion > 1) {
+            val applied = table.summaryValue("wire_schema_version")
+              .map(_.toInt).getOrElse(1)
+            val target = res.maxSchemaVersion
+            if (target > applied) {
+              (applied until target).foreach { v =>
+                def avro(i: Int) = rc.schemaRegistry.getOrElse(i,
+                  throw new graft.core.GraftValidationException(
+                    s"schema_registry has no Avro schema for wire version $i " +
+                      s"(stream announced $target)"))
+                graft.laketable.AvroSchema.evolveIfNeeded(table, avro(v), avro(v + 1))
+              }
+              table.commit(Set.empty, Nil,
+                Map("wire_schema_version" -> target.toString))
+            }
+          }
           // periodic small-file compaction (its commit is separate from the
           // batch commit and content-neutral, so replays stay idempotent)
           rc.compactEvery.foreach { k =>

@@ -166,7 +166,8 @@ object ChangelogSource {
       zipfSkew = dd("zipfSkew", 2.0),
       deleteRatio = dd("deleteRatio", 0.05),
       copyRows = l("copyRows", 0L),
-      contentBlocks = i("contentBlocks", 8))
+      contentBlocks = i("contentBlocks", 8),
+      schemaChangeAt = opts.get("schemaChangeAt").map(_.toLong))
     SourceOptions(
       gen,
       maxEventsPerTrigger = l("maxEventsPerTrigger", Long.MaxValue),
