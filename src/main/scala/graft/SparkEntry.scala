@@ -951,9 +951,14 @@ object SparkEntry {
     val scratch = java.nio.file.Files.createTempDirectory("graft-q").toString
     val table = new LakeTable(s"$scratch/t", s)
     table.create(ChangeEvent.rowSchema, numBuckets = 4)
+    // two micro-batches: the bump (global id 2000 = per-shard position
+    // 1000) lands exactly at the batch boundary's far side, so batch 1 is
+    // all-v1 (schema untouched) and batch 2 carries the v2 winners that
+    // trigger the evolution — the cheapest shape that still proves the
+    // mid-stream trigger
     graft.streaming.CdcStream.runAvailableNow(s, graft.streaming.CdcStream.RunConfig(
       c, s"$scratch/t", s"$scratch/cp",
-      maxEventsPerTrigger = Some(1200L),
+      maxEventsPerTrigger = Some(2000L),
       expireEvery = None,
       schemaRegistry = Map(1 -> avroV1, 2 -> avroV2)))
     materializeAndClean(
