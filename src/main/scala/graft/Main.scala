@@ -73,7 +73,7 @@ object Main {
     verb match {
       case "spec" =>
         println(
-          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"keyspace":{"type":"string","description":"source keyspace (namespace for stream state keys)"},"maxPerTrigger":{"type":"integer","default":500000,"description":"micro-batch size bound in events (default 500000); batch boundaries are the commit points a fenced/partial sync keeps"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"},"wire_columns":{"type":"string","description":"column-spec JSON file (same file discover --columns reads); the selected table's wire stream is ingested with typed landing"},"wire_table":{"type":"string","description":"table name to pick from --wire_columns (default: first table)"},"timeout_seconds":{"type":"integer","default":300,"minimum":300,"description":"timeout in seconds for ONE sync attempt (default 300; values below 300 are clamped up, matching the reference spec); fenced attempts re-enter from the checkpoint up to max_retries total attempts, committed batches stand"},"max_retries":{"type":"integer","default":3,"description":"TOTAL sync attempts per read (default 3, minimum 1); when the budget is exhausted on retryable errors the sync returns committed progress and SYNC_SUMMARY carries partial:true (reference nil-error semantics)"},"buckets_per_manifest":{"type":"integer","description":"bucket-group size of the manifest tree at table CREATION (0 = auto: max(1, min(64, buckets/8))); existing tables keep their stored value"},"schema_registry":{"type":"string","description":"JSON file mapping wire schema versions to Avro record schemas ({\"1\": {...}, \"2\": {...}}); when stream events announce a newer schema_version, each step's Avro diff (alias renames + adds) is applied to the table and watermarked"},"expire_every":{"type":"integer","description":"expire snapshot metadata every N batches (0 disables; default 32)"},"keep_snapshots":{"type":"integer","description":"time-travel window: snapshots retained by expiry (default 8)"}}}}""")
+          """{"documentationUrl":"BENCH.md","connectionSpecification":{"type":"object","required":["table","checkpoint"],"properties":{"table":{"type":"string","description":"lake table root (any Hadoop FileSystem URI)"},"checkpoint":{"type":"string","description":"streaming checkpoint dir"},"events":{"type":"integer"},"shards":{"type":"integer"},"repos":{"type":"integer"},"paths":{"type":"integer"},"copyRows":{"type":"integer"},"seed":{"type":"integer"},"keyspace":{"type":"string","description":"source keyspace (namespace for stream state keys)"},"maxPerTrigger":{"type":"integer","default":500000,"description":"micro-batch size bound in events (default 500000); batch boundaries are the commit points a fenced/partial sync keeps"},"parity":{"type":"boolean","description":"reference After-image-only parity mode (drop deletes)"},"include_metadata":{"type":"boolean","description":"land per-row provenance columns (_graft_vgtid, _graft_seq, _graft_extracted_at)"},"state":{"type":"string","description":"SyncState JSON file; merged per stream in --catalog mode (incremental only)"},"stream_concurrency":{"type":"integer","description":"max concurrent streams in --catalog mode"},"wire":{"type":"boolean","description":"source serves raw MySQL wire strings (repo_profile); values are normalized and typed during apply"},"sync_shards":{"type":"string","description":"comma separated list of shards you'd like to sync, by default all shards are synced"},"wire_columns":{"type":"string","description":"column-spec JSON file (same file discover --columns reads); the selected table's wire stream is ingested with typed landing"},"wire_table":{"type":"string","description":"table name to pick from --wire_columns (default: first table)"},"timeout_seconds":{"type":"integer","default":300,"minimum":300,"description":"timeout in seconds for ONE sync attempt (default 300; values below 300 are clamped up, matching the reference spec); fenced attempts re-enter from the checkpoint up to max_retries total attempts, committed batches stand"},"max_retries":{"type":"integer","default":3,"description":"TOTAL sync attempts per read (default 3, minimum 1); when the budget is exhausted on retryable errors the sync returns committed progress and SYNC_SUMMARY carries partial:true (reference nil-error semantics)"},"buckets_per_manifest":{"type":"integer","description":"bucket-group size of the manifest tree at table CREATION (0 = auto: max(1, min(64, buckets/8))); existing tables keep their stored value"},"schema_registry":{"type":"string","description":"JSON file mapping wire schema versions to Avro record schemas ({\"1\": {...}, \"2\": {...}}); when stream events announce a newer schema_version, each step's Avro diff (alias renames + adds) is applied to the table and watermarked (also in --catalog mode, applied per stream)"},"schema_change_at":{"type":"integer","description":"synthetic source knob: catch-up events with global id >= N announce schema_version 2 (pair with schema_registry)"},"expire_every":{"type":"integer","description":"expire snapshot metadata every N batches (0 disables; default 32)"},"keep_snapshots":{"type":"integer","description":"time-travel window: snapshots retained by expiry (default 8)"}}}}""")
 
       case "check" =>
         val spark = session()
@@ -168,6 +168,16 @@ object Main {
                 SyncState.fromJson(new String(java.nio.file.Files.readAllBytes(
                   java.nio.file.Paths.get(path)), "UTF-8"))
               }.getOrElse(SyncState.empty)
+              // --schema_registry applies to EVERY stream of the catalog
+              // (same source schema family; per-table registries would need
+              // a catalog-side mapping the reference doesn't have either)
+              val catalogRegistry = o.get("schema_registry").map { path =>
+                val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+                  new String(java.nio.file.Files.readAllBytes(
+                    java.nio.file.Paths.get(path)), "UTF-8"))
+                import scala.jdk.CollectionConverters._
+                root.properties().asScala.map(e => e.getKey.toInt -> e.getValue.toString).toMap
+              }.getOrElse(Map.empty[Int, String])
               val t0 = System.nanoTime()
               // per-stream dirs keyed namespace__name: same-named tables in
               // different namespaces get distinct tables + checkpoints
@@ -190,6 +200,7 @@ object Main {
                   wirePayload = o.get("wire").exists(_.toBoolean),
                   // per-sync options apply to EVERY stream of the catalog
                   shardSubset = o.get("sync_shards"),
+                  schemaRegistry = catalogRegistry,
                   // spec surface: default 300 s, minimum 300 (clamped loud)
                   timeoutSeconds = CdcStream.specTimeoutSeconds(
                     o.get("timeout_seconds").map(_.toLong)),

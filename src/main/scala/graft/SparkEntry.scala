@@ -924,19 +924,6 @@ object SparkEntry {
       .select(col("doc_id"), col("predicted"), col("quality"), col("tokens"))
   }
 
-  private val avroV1 =
-    """{"type":"record","name":"repo_content","fields":[
-      {"name":"repo","type":"string"},{"name":"path","type":"string"},
-      {"name":"commit","type":"string"},{"name":"lang","type":"string"},
-      {"name":"content","type":"string"}]}"""
-  private val avroV2 =
-    """{"type":"record","name":"repo_content","fields":[
-      {"name":"repo","type":"string"},{"name":"path","type":"string"},
-      {"name":"commit","type":"string"},
-      {"name":"language","type":"string","aliases":["lang"]},
-      {"name":"content","type":"string"},
-      {"name":"size_bytes","type":["null","long"]}]}"""
-
   /** STREAM-DRIVEN Avro evolution as a query: the same 2-shard changelog as
     * `cdc_replay_final_state`, but streamed (AvailableNow micro-batches)
     * with a mid-stream `schema_version` bump whose registry diff renames
@@ -960,7 +947,9 @@ object SparkEntry {
       c, s"$scratch/t", s"$scratch/cp",
       maxEventsPerTrigger = Some(2000L),
       expireEvery = None,
-      schemaRegistry = Map(1 -> avroV1, 2 -> avroV2)))
+      schemaRegistry = Map(
+        1 -> graft.laketable.AvroSchema.repoContentV1,
+        2 -> graft.laketable.AvroSchema.repoContentV2)))
     materializeAndClean(
       table.read().select(col("repo"), col("path"), col("language"),
         sha2(col("content"), 256).as("sha"), col("size_bytes").isNull.as("size_null")),

@@ -443,13 +443,25 @@ object CdcApply {
         k.startsWith("lineage:b") &&
           k.stripPrefix("lineage:b").toLongOption.exists(_ <= batchId - lineageKeep)
       }.toSet
+      // the ANNOUNCED wire schema version rides the batch commit itself
+      // (monotone max): the streaming driver's evolution trigger is
+      // re-derivable from committed state alone, so a crash anywhere
+      // between this commit and the evolution commits can always heal —
+      // even when the bump batch is the stream's last and replays as a
+      // skip (or never replays because the checkpoint advanced)
+      val announcedPrev = snap.summary.get("wire_schema_announced")
+        .map(_.toInt).getOrElse(1)
+      val announce: Map[String, String] =
+        if (math.max(maxWireSv, announcedPrev) > 1)
+          Map("wire_schema_announced" -> math.max(maxWireSv, announcedPrev).toString)
+        else Map.empty
       val committed = table.commit(
         replacedBuckets = affected,
         newFiles = newFiles,
         summaryUpdates = Map(
           key -> batchId.toString,
           "cursors" -> merged.toJson,
-          s"lineage:b$batchId" -> lineage),
+          s"lineage:b$batchId" -> lineage) ++ announce,
         dropSummaryKeys = stale)
       ApplyResult(committed, upsertCount, deleteCount, skipped = false, stats = stats,
         maxSchemaVersion = maxWireSv)

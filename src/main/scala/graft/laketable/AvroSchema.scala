@@ -77,12 +77,29 @@ object AvroSchema {
     * died between applying the evolution and recording the watermark can
     * re-run the step without tripping `evolveSchema`'s rename-source-missing
     * validation or duplicating columns.
+    *
+    * `strict` (the trigger sets it on a bump's FINAL step): a rename whose
+    * source AND target are BOTH absent fails loud — on the final step
+    * nothing later could have renamed the target away, so both-absent can
+    * only mean the registry describes a different table (a typo'd alias
+    * would otherwise no-op silently and the watermark would advance past
+    * the mistake forever). Intermediate steps tolerate both-absent: a
+    * chained rename (a→b in step 1, b→c in step 2) legitimately leaves
+    * step 1's replay with neither name present.
     */
-  def evolveIfNeeded(table: LakeTable, oldJson: String, newJson: String): Snapshot = {
+  def evolveIfNeeded(table: LakeTable, oldJson: String, newJson: String,
+      strict: Boolean = false): Snapshot = {
     val (renames, adds) = diff(parse(oldJson), parse(newJson))
     val cur = table.currentSnapshot
       .getOrElse(throw new IllegalStateException("create() first"))
     val names = cur.currentSchema.map(_.name).toSet
+    if (strict) renames.foreach { case (from, to) =>
+      if (!names.contains(from) && !names.contains(to))
+        throw new graft.core.GraftValidationException(
+          s"schema registry mismatch: rename $from -> $to matches no column of " +
+            s"the table (has: ${cur.currentSchema.map(_.name).mkString(", ")}) — " +
+            "does the registry describe this table?")
+    }
     val pendingRenames = renames.filter { case (from, to) =>
       names.contains(from) && !names.contains(to)
     }
@@ -90,4 +107,23 @@ object AvroSchema {
     if (pendingRenames.isEmpty && pendingAdds.isEmpty) cur
     else table.evolveSchema(pendingRenames, pendingAdds)
   }
+
+  /** Canonical Avro pair for the `repo_content` landing schema — v1 is the
+    * created table's exact shape; v2 is the reference evolution exercise
+    * (alias-disambiguated rename `lang`→`language` + nullable `size_bytes`
+    * add). Shared by the driver query and the streaming spec so the two
+    * can never silently diverge.
+    */
+  val repoContentV1: String =
+    """{"type":"record","name":"repo_content","fields":[
+      {"name":"repo","type":"string"},{"name":"path","type":"string"},
+      {"name":"commit","type":"string"},{"name":"lang","type":"string"},
+      {"name":"content","type":"string"}]}"""
+  val repoContentV2: String =
+    """{"type":"record","name":"repo_content","fields":[
+      {"name":"repo","type":"string"},{"name":"path","type":"string"},
+      {"name":"commit","type":"string"},
+      {"name":"language","type":"string","aliases":["lang"]},
+      {"name":"content","type":"string"},
+      {"name":"size_bytes","type":["null","long"]}]}"""
 }

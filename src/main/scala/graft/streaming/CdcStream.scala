@@ -445,6 +445,33 @@ object CdcStream {
     SyncOutcome(lastBatch - before, partial, lastError)
   }
 
+  /** Stream-driven Avro evolution trigger — derived ENTIRELY from committed
+    * snapshot state (`wire_schema_announced`, stamped by the batch commit
+    * itself, vs the `wire_schema_version` applied watermark), so it can run
+    * after fresh batches, on skipped replays, and at end-of-sync: whatever
+    * crash or timeout fence interleaves with the bump batch, some later
+    * call observes announced > applied and completes the bump. Each
+    * registry step is applied via [[graft.laketable.AvroSchema
+    * .evolveIfNeeded]] (idempotent; the FINAL step is strict — a rename
+    * whose source and target are both absent there means a misconfigured
+    * registry and fails loud instead of silently watermarking past it).
+    */
+  private def maybeEvolve(table: LakeTable, rc: RunConfig): Unit = {
+    if (rc.schemaRegistry.isEmpty) return
+    val announced = table.summaryValue("wire_schema_announced").map(_.toInt).getOrElse(1)
+    val applied = table.summaryValue("wire_schema_version").map(_.toInt).getOrElse(1)
+    if (announced <= applied) return
+    def avro(i: Int) = rc.schemaRegistry.getOrElse(i,
+      throw new graft.core.GraftValidationException(
+        s"schema_registry has no Avro schema for wire version $i " +
+          s"(stream announced $announced)"))
+    (applied until announced).foreach { v =>
+      graft.laketable.AvroSchema.evolveIfNeeded(table, avro(v), avro(v + 1),
+        strict = v + 1 == announced)
+    }
+    table.commit(Set.empty, Nil, Map("wire_schema_version" -> announced.toString))
+  }
+
   /** Run one `Trigger.AvailableNow` pass: peek the head, drain to it in
     * micro-batches, commit, stop. Returns the number of batches applied.
     * A `timeoutSeconds` fence bounds THIS pass as a whole (single-fence:
@@ -487,30 +514,12 @@ object CdcStream {
           writeMetrics(spark, rc.tableRoot, batchId, res.stats,
             (System.nanoTime() - t0) / 1000000L, res.snapshot.version)
           compactMetrics(spark, rc.tableRoot)
-          // stream-driven Avro evolution: the batch's winners announced a
-          // newer wire schema version — apply each registry step's diff
-          // (idempotent: a crash between the evolution commit and the
-          // watermark commit replays as a no-op; a crash after the BATCH
-          // commit but before this block re-triggers on the next applied
-          // batch, since versions are monotone in the stream). Data files
-          // are schema-version-tagged and name-mapped by field id either
-          // way, so landing before/after the evolution is equally correct.
-          if (rc.schemaRegistry.nonEmpty && res.maxSchemaVersion > 1) {
-            val applied = table.summaryValue("wire_schema_version")
-              .map(_.toInt).getOrElse(1)
-            val target = res.maxSchemaVersion
-            if (target > applied) {
-              (applied until target).foreach { v =>
-                def avro(i: Int) = rc.schemaRegistry.getOrElse(i,
-                  throw new graft.core.GraftValidationException(
-                    s"schema_registry has no Avro schema for wire version $i " +
-                      s"(stream announced $target)"))
-                graft.laketable.AvroSchema.evolveIfNeeded(table, avro(v), avro(v + 1))
-              }
-              table.commit(Set.empty, Nil,
-                Map("wire_schema_version" -> target.toString))
-            }
-          }
+          // stream-driven Avro evolution: the batch commit above recorded
+          // the announced wire version, so the trigger is derivable from
+          // committed state — run it here for freshness, and again on
+          // skipped replays and at end-of-sync so NO crash/fence window
+          // can strand v2 data under a v1 schema
+          maybeEvolve(table, rc)
           // periodic small-file compaction (its commit is separate from the
           // batch commit and content-neutral, so replays stay idempotent)
           rc.compactEvery.foreach { k =>
@@ -529,6 +538,10 @@ object CdcStream {
           // snapshot's lineage (which carries per-shard stats + apply wall)
           // so metrics stay exactly-once-per-batch across that crash window.
           backfillMetrics(spark, rc.tableRoot, table, batchId)
+          // …and heal the evolution crash window the same way: a crash
+          // between the bump batch's commit and its evolution commits left
+          // the announced version ahead of the applied watermark
+          maybeEvolve(table, rc)
         }
         ()
       }
@@ -563,6 +576,11 @@ object CdcStream {
       // not mask the original failure.
       try q.stop() catch { case _: Exception => () }
     }
+    // end-of-sync evolution check: covers the window where the bump batch's
+    // checkpoint ADVANCED before the crash (no replay will ever fire
+    // foreachBatch for it) and no further events exist — the committed
+    // announced-version still drives the bump to completion here
+    maybeEvolve(table, rc)
     // end-of-sync expiry: the in-loop cadence can leave up to expireEvery-1
     // commits' metadata behind; one final pass bounds the meta dir to
     // ~keepSnapshots × (groups + 1) files between syncs

@@ -20,18 +20,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class EvolutionStreamSpec extends AnyFunSuite with SparkSupport {
 
-  private val avroV1 =
-    """{"type":"record","name":"repo_content","fields":[
-      {"name":"repo","type":"string"},{"name":"path","type":"string"},
-      {"name":"commit","type":"string"},{"name":"lang","type":"string"},
-      {"name":"content","type":"string"}]}"""
-  private val avroV2 =
-    """{"type":"record","name":"repo_content","fields":[
-      {"name":"repo","type":"string"},{"name":"path","type":"string"},
-      {"name":"commit","type":"string"},
-      {"name":"language","type":"string","aliases":["lang"]},
-      {"name":"content","type":"string"},
-      {"name":"size_bytes","type":["null","long"]}]}"""
+  // the canonical pair SparkEntry's driver query uses — shared so the spec
+  // always covers exactly what the oracled query runs
+  private val avroV1 = AvroSchema.repoContentV1
+  private val avroV2 = AvroSchema.repoContentV2
 
   private def digest(df: DataFrame): DataFrame =
     df.select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
@@ -79,6 +71,52 @@ class EvolutionStreamSpec extends AnyFunSuite with SparkSupport {
     assert(CdcStream.runAvailableNow(spark, rc) == 0L)
     assert(AvroSchema.evolveIfNeeded(t, avroV1, avroV2).version == v)
     assert(t.currentVersion.contains(v))
+  }
+
+  test("stranded bump heals: the bump batch committed (announced version " +
+    "recorded) but evolution never ran and no further events exist — an " +
+    "EMPTY follow-up sync completes the bump from committed state alone") {
+    val c = GenConfig(numEvents = 3000L, numShards = 2, numRepos = 20,
+      pathsPerRepo = 10, schemaChangeAt = Some(1500L))
+    val base = tmpDir("evostrand")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    val rc = CdcStream.RunConfig(c, s"$base/t", s"$base/cp",
+      maxEventsPerTrigger = Some(1000L))
+    // model the worst window: the whole drain ran with the evolution
+    // trigger never firing (registry absent ≈ crash/fence right after
+    // every batch commit), so v2 data sits under the v1 schema with only
+    // the ANNOUNCED version in the snapshot
+    CdcStream.runAvailableNow(spark, rc)
+    assert(t.summaryValue("wire_schema_announced").contains("2"))
+    assert(t.summaryValue("wire_schema_version").isEmpty)
+    assert(t.read().columns.toSeq == Seq("repo", "path", "commit", "lang", "content"))
+
+    // the next sync has NOTHING to drain — the end-of-sync check still
+    // observes announced > applied and completes the bump
+    val applied = CdcStream.runAvailableNow(spark,
+      rc.copy(schemaRegistry = Map(1 -> avroV1, 2 -> avroV2)))
+    assert(applied == 0L)
+    assert(t.read().columns.toSeq ==
+      Seq("repo", "path", "commit", "language", "content", "size_bytes"))
+    assert(t.summaryValue("wire_schema_version").contains("2"))
+  }
+
+  test("strict final-step guard: a registry whose rename matches NO column " +
+    "of the table fails loud instead of silently watermarking past it") {
+    val base = tmpDir("evostrict")
+    val t = new LakeTable(s"$base/t", spark)
+    t.create(ChangeEvent.rowSchema, numBuckets = 4)
+    // a registry describing a DIFFERENT table: its v1 names a column the
+    // table never had, so the v1→v2 rename (lng→language) matches nothing
+    val typoV1 = avroV1.replace("\"name\":\"lang\"", "\"name\":\"lng\"")
+    val typoV2 = avroV2.replace("\"aliases\":[\"lang\"]", "\"aliases\":[\"lng\"]")
+    val e = intercept[graft.core.GraftValidationException](
+      AvroSchema.evolveIfNeeded(t, typoV1, typoV2, strict = true))
+    assert(e.getMessage.contains("schema registry mismatch"))
+    // non-strict (intermediate step) tolerates it — chained renames need
+    // both-absent tolerance there (only the pending add is applied)
+    AvroSchema.evolveIfNeeded(t, typoV1, typoV2, strict = false)
   }
 
   test("evolveIfNeeded applies only the PENDING part of a bump (partial " +
