@@ -56,6 +56,19 @@ object Main {
     }.toMap
   }
 
+  /** `--schema_registry <file>`: {"<wire version>": <Avro record JSON>, …}
+    * — arms stream-driven evolution (shared by the single-stream and
+    * catalog paths; in catalog mode it applies to every stream).
+    */
+  private def parseSchemaRegistry(o: Map[String, String]): Map[Int, String] =
+    o.get("schema_registry").map { path =>
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8"))
+      import scala.jdk.CollectionConverters._
+      root.properties().asScala.map(e => e.getKey.toInt -> e.getValue.toString).toMap
+    }.getOrElse(Map.empty[Int, String])
+
   private def genConfig(o: Map[String, String]): GenConfig = GenConfig(
     seed = o.getOrElse("seed", "42").toLong,
     numEvents = o.getOrElse("events", "100000").toLong,
@@ -168,16 +181,7 @@ object Main {
                 SyncState.fromJson(new String(java.nio.file.Files.readAllBytes(
                   java.nio.file.Paths.get(path)), "UTF-8"))
               }.getOrElse(SyncState.empty)
-              // --schema_registry applies to EVERY stream of the catalog
-              // (same source schema family; per-table registries would need
-              // a catalog-side mapping the reference doesn't have either)
-              val catalogRegistry = o.get("schema_registry").map { path =>
-                val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-                  new String(java.nio.file.Files.readAllBytes(
-                    java.nio.file.Paths.get(path)), "UTF-8"))
-                import scala.jdk.CollectionConverters._
-                root.properties().asScala.map(e => e.getKey.toInt -> e.getValue.toString).toMap
-              }.getOrElse(Map.empty[Int, String])
+              val catalogRegistry = parseSchemaRegistry(o)
               val t0 = System.nanoTime()
               // per-stream dirs keyed namespace__name: same-named tables in
               // different namespaces get distinct tables + checkpoints
@@ -259,16 +263,7 @@ object Main {
                   java.nio.file.Paths.get(path)), "UTF-8")
                 SyncState.fromJson(json).streams.values.flatten.toMap
               }.getOrElse(Map.empty[String, graft.core.ShardCursor])
-              // --schema_registry <file>: {"<wire version>": <Avro record
-              // JSON>, …} — arms stream-driven evolution (events announcing
-              // a newer schema_version apply each step's Avro diff)
-              val schemaRegistry = o.get("schema_registry").map { path =>
-                val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-                  new String(java.nio.file.Files.readAllBytes(
-                    java.nio.file.Paths.get(path)), "UTF-8"))
-                import scala.jdk.CollectionConverters._
-                root.properties().asScala.map(e => e.getKey.toInt -> e.getValue.toString).toMap
-              }.getOrElse(Map.empty[Int, String])
+              val schemaRegistry = parseSchemaRegistry(o)
               val rc = CdcStream.RunConfig(genConfig(o), root, cp,
                 // bounded by DEFAULT (see catalog path: an unbounded single
                 // batch + the per-attempt fence could mean zero progress)
@@ -302,8 +297,13 @@ object Main {
               val secs = (System.nanoTime() - t0) / 1e9
               val rows = t.read().count()
               val cursors = t.summaryValue("cursors").getOrElse("{}")
+              // Jackson-quoted: correct escaping for newlines/control chars
+              // too — Spark exception messages are routinely multi-line, and
+              // a raw newline here would break both the JSON and the
+              // last-line-is-JSON contract exactly when partial is reported
               val errJson = outcome.lastError
-                .map(m => s""","last_error":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+                .map(m => s""","last_error":${
+                  new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(m)}""")
                 .getOrElse("")
               // "partial":true = budget exhausted, committed progress stands
               // (reference nil-error semantics) — scripts MUST check this

@@ -43,9 +43,11 @@ object ScalingBench {
       sys.error(s"child JVM failed for local[$cpus]")
     }
     val parts = best.split(" ")
+    // -1 = canary unavailable (stale child build / truncated output) — a
+    // parseable sentinel; NaN would poison min-folds and print invalid JSON
     val canary = out.filter(_.startsWith("CANARY "))
       .map(_.split(" ")(1).toDouble) match {
-      case Seq() => Double.NaN
+      case Seq() => -1.0
       case cs => cs.min
     }
     (parts(1).toDouble, parts(2).toLong, canary)
@@ -63,15 +65,20 @@ object ScalingBench {
     var total = 0L
     var canaryN = Double.MaxValue
     var canary4N = Double.MaxValue
+    // min over AVAILABLE canaries only: a -1 sentinel from one bad child
+    // must not masquerade as the fastest window
+    def foldCanary(cur: Double, c: Double): Double = if (c < 0) cur else math.min(cur, c)
     (1 to rounds).foreach { _ =>
       val (sN, tot, cN) = measure(n, events, reps)
       val (s4N, _, c4N) = measure(4 * n, events, reps)
       total = tot
       bestN = math.min(bestN, sN)
       best4N = math.min(best4N, s4N)
-      canaryN = math.min(canaryN, cN)
-      canary4N = math.min(canary4N, c4N)
+      canaryN = foldCanary(canaryN, cN)
+      canary4N = foldCanary(canary4N, c4N)
     }
+    if (canaryN == Double.MaxValue) canaryN = -1.0
+    if (canary4N == Double.MaxValue) canary4N = -1.0
     val rN = total / bestN
     val r4N = total / best4N
     val eff = r4N / (4.0 * rN)

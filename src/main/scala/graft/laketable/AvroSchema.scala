@@ -99,6 +99,14 @@ object AvroSchema {
           s"schema registry mismatch: rename $from -> $to matches no column of " +
             s"the table (has: ${cur.currentSchema.map(_.name).mkString(", ")}) — " +
             "does the registry describe this table?")
+      // both present is just as wrong on the final step: applying the
+      // rename is impossible (duplicate column) and skipping it would
+      // silently leave the data under the old field id/name while the
+      // watermark claims the new version
+      if (names.contains(from) && names.contains(to))
+        throw new graft.core.GraftValidationException(
+          s"schema registry conflict: rename $from -> $to but the table has " +
+            s"BOTH columns — resolve the duplicate before the stream can evolve")
     }
     val pendingRenames = renames.filter { case (from, to) =>
       names.contains(from) && !names.contains(to)

@@ -489,6 +489,13 @@ object CdcStream {
     // tables ingest the catchup stream (copyRows = 0)
     require(rc.wireTable.isEmpty || rc.gen.copyRows == 0L,
       "wireTable streams do not support a COPY phase (set copyRows = 0)")
+    // parity mode pins the tracked wire version to 1 (it models the
+    // reference's After-only comparison) — an armed registry would be a
+    // silent no-op, so reject the combination loudly instead
+    if (rc.parityMode && rc.schemaRegistry.nonEmpty)
+      throw new graft.core.GraftValidationException(
+        "schema_registry is not supported in parity mode (parity pins the " +
+          "tracked wire schema version to 1, so evolution would silently never fire)")
     rc.wireTable.foreach(graft.genlog.WireGen.validateKeys)
     var batches = 0L
     val stream = spark.readStream
@@ -558,8 +565,13 @@ object CdcStream {
       val t = new java.util.Timer("graft-sync-timeout", true)
       t.schedule(new java.util.TimerTask {
         override def run(): Unit = {
-          fenced.set(true)
-          try q.stop() catch { case _: Exception => () }
+          // only count the fence when the query was still RUNNING: a timer
+          // that fires a breath after a natural drain must not flag a
+          // fully-complete sync as partial (or burn a pointless retry)
+          if (q.isActive) {
+            fenced.set(true)
+            try q.stop() catch { case _: Exception => () }
+          }
         }
       }, secs * 1000L)
       t
