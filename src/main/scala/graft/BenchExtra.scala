@@ -1,0 +1,170 @@
+package graft
+
+import graft.apply.CdcApply
+import graft.core.ChangeEvent
+import graft.genlog.ChangelogGen
+import graft.laketable.LakeTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Optimization-round measurement harness (guide §1: measure first; §1.4:
+  * isolate with the noop sink). NOT part of the driver contract — Bench.scala
+  * is the frozen artifact; this main exists so individual queries and replay
+  * components can be timed without the full suite.
+  *
+  * Usage: runMain graft.BenchExtra <what> [reps]
+  *   <what> = comma-separated query names, or
+  *            gen        — changelog generation alone (noop sink)
+  *            gen-light  — generation with content/commit pruned (noop sink)
+  *            dedup      — generation + LWW dedup (noop sink)
+  *            replay     — full replay (Bench methodology, fresh table per rep)
+  *            all        — every query, bench methodology
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val what = args.headOption.getOrElse("all")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "128m")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "ERROR"))
+
+    def time(label: String)(f: => Unit): Unit = {
+      val secs = (1 to reps).map { _ =>
+        spark.sparkContext.setJobDescription(label)
+        val t0 = System.nanoTime()
+        f
+        val s = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        s
+      }
+      println(f"EXTRA $label%-28s min=${secs.min}%.3f reps=${secs.map(s => f"$s%.2f").mkString(",")}")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val canary0 = HostCanary.best()
+    what match {
+      case "gen" =>
+        val c = Bench.benchGen(sfDir)
+        time("gen")(noop(ChangelogGen.fullStream(spark, c)))
+      case "gen-light" =>
+        val c = Bench.benchGen(sfDir)
+        time("gen-light")(noop(ChangelogGen.fullStream(spark, c)
+          .drop("after", "before")))
+      case "dedup" =>
+        val c = Bench.benchGen(sfDir)
+        time("dedup")(noop(CdcApply.dedupLww(ChangelogGen.fullStream(spark, c))))
+      case "gen-probe" =>
+        val c = Bench.benchGen(sfDir)
+        val full = ChangelogGen.changelog(spark, c)
+        time("probe-all")(noop(full))
+        time("probe-no-after")(noop(full.drop("after")))
+        time("probe-content")(noop(full.select(col("after.content"))))
+        time("probe-commit")(noop(full.select(col("after.commit"))))
+        time("probe-repo-path")(noop(full.select(col("after.repo"), col("after.path"))))
+        time("probe-vgtid")(noop(full.select(col("vgtid"), col("event_seq"))))
+      case "gen-probe2" =>
+        val c = Bench.benchGen(sfDir)
+        import org.apache.spark.sql.functions._
+        val n = c.numEvents
+        val flat = graft.genlog.GenExprs.changelogFlatProbe(spark, c)
+        time("probe-flat-all")(noop(flat))
+        time("probe-flat-light")(noop(flat.drop("content", "commit")))
+        val enc = ChangelogGen.changelogViaEncoder(spark, c)
+        time("probe-encoder-all")(noop(enc))
+        time("probe-encoder-light")(noop(enc.select(col("after.repo"), col("after.path"),
+          col("vgtid"), col("event_seq"))))
+      case "gen-probe3" =>
+        val c = Bench.benchGen(sfDir)
+        import org.apache.spark.sql.functions._
+        val flat = graft.genlog.GenExprs.changelogFlatProbe(spark, c)
+        time("p3-flat")(noop(flat))
+        val st = struct(col("repo"), col("path"), col("commit"), col("lang"),
+          col("content")).as("after")
+        time("p3-struct-of-flat")(noop(flat.select(st)))
+        val cond = col("event_seq") % 20 =!= 0
+        time("p3-when-struct-of-flat")(noop(flat.select(when(cond, struct(col("repo"),
+          col("path"), col("commit"), col("lang"), col("content"))).as("after"))))
+        val stIf = graft.genlog.GenExprs.structIf(cond, struct(col("repo"),
+          col("path"), col("commit"), col("lang"), col("content"))).as("after")
+        time("p3-if-struct-of-flat")(noop(flat.select(stIf)))
+        val stMask = graft.genlog.GenExprs.maskedStructProbe(cond, struct(col("repo"),
+          col("path"), col("commit"), col("lang"), col("content"))).as("after")
+        time("p3-masked-struct-of-flat")(noop(flat.select(stMask)))
+        val full = ChangelogGen.changelog(spark, c)
+        time("p3-full")(noop(full))
+        time("p3-full-minus-before")(noop(full.drop("before")))
+        time("p3-full-minus-after")(noop(full.drop("after")))
+      case "gen-probe-plan" =>
+        val c = Bench.benchGen(sfDir)
+        val full = ChangelogGen.changelog(spark, c)
+        import org.apache.spark.sql.execution.ExtendedMode
+        println("=== repo-path ===")
+        println(full.select(col("after.repo"), col("after.path"))
+          .queryExecution.explainString(ExtendedMode))
+        println("=== content ===")
+        println(full.select(col("after.content"))
+          .queryExecution.explainString(ExtendedMode))
+      case "gen-plan" =>
+        val c = Bench.benchGen(sfDir)
+        val df = ChangelogGen.fullStream(spark, c)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      case "micro" =>
+        // single-thread closed-form cost, no Spark: ground truth for what a
+        // perfectly-scaled 32-core generation pass could cost
+        val c = Bench.benchGen(sfDir)
+        val n = 1000000
+        (1 to reps).foreach { _ =>
+          var t0 = System.nanoTime()
+          var i = 0
+          var acc = 0L
+          while (i < n) {
+            acc ^= graft.genlog.EventGen.catchupEvent(i % c.numShards, i / c.numShards, c)
+              .event_seq
+            i += 1
+          }
+          val full = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          i = 0
+          while (i < n) {
+            acc ^= graft.genlog.EventGen.content("repo-0042", "src/dir3/file17.py",
+              i.toLong, c.seed, c.contentBlocks).length
+            i += 1
+          }
+          val cont = (System.nanoTime() - t0) / 1e9
+          println(f"EXTRA micro n=$n catchupEvent=${full}%.2fs content=${cont}%.2fs acc=$acc")
+        }
+      case "replay" =>
+        val c = Bench.benchGen(sfDir)
+        // JIT warm-up like Bench
+        Bench.runCdcReplay(spark, c.copy(numEvents = math.max(50000L, c.numEvents / 10),
+          copyRows = math.max(5000L, c.copyRows / 10)))
+        val runs = (1 to reps).map(_ => Bench.runCdcReplay(spark, c))
+        val ev = runs.head._1
+        println(f"EXTRA replay events=$ev secs=${runs.map(_._2).min}%.2f " +
+          f"(${runs.map(r => f"${r._2}%.2f").mkString(",")}) " +
+          f"ev/s=${ev / runs.map(_._2).min}%.0f")
+      case names =>
+        val wanted = if (names == "all") SparkEntry.queries.keys.toSeq.sorted
+                     else names.split(",").toSeq
+        wanted.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          time(name)(fn(spark, sfDir).count())
+        }
+    }
+    val canary1 = HostCanary.best()
+    println(f"EXTRA canary before=$canary0%.3f after=$canary1%.3f")
+    spark.stop()
+  }
+}

@@ -766,13 +766,25 @@ object SparkEntry {
     // (shuffle_hash hints): the corpus's shingle arrays are never broadcast
     // — at 100 TB the candidate-pair side is the small one, and the two
     // verify joins shuffle on a_id/b_id just like the band self-join does.
+    //
+    // The persisted/shuffled shingle representation is the 64-bit HASH of
+    // each distinct shingle (ShingleHashesExpr), not the ~20-char string:
+    // ~8 bytes/shingle instead of ~28+, so the corpus persist and the two
+    // verify-join shuffles move ~3.5× fewer bytes (guide §2.3 "shuffle keys
+    // and metadata instead of payloads"). MinHash signatures derive from
+    // exactly these hashes, so band keys are bit-identical to the
+    // string-shingle path; the exact-Jaccard verify runs set math over the
+    // hash sets (equal to string-set Jaccard — a 64-bit collision inside
+    // one pair's ~4k-element union has probability ~1e-12 and the planted
+    // pairs sit far from the 700 threshold).
     val docs = plantedDocs(s, dir)
-      .withColumn("sh", T.shingles(col("text"), 20))
+      .withColumn("shh", T.shingleHashes(col("text"), 20))
       // explicit MEMORY_AND_DISK (Dataset.cache's default, stated here as a
-      // contract): the shingled corpus is read 3× (banding + two verify
+      // contract): the hashed shingle sets are read 3× (banding + two verify
       // sides); at 100 TB partitions that outgrow storage memory spill to
       // local disk instead of evicting — recompute would re-shingle the
       // corpus twice
+      .select(col("doc_id"), col("shh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 16 bands × 2 rows: collision probability at jaccard 0.7 is
     // 1-(1-0.49)^16 ≈ 0.99998 — empirically full recall on this corpus, so
@@ -781,20 +793,20 @@ object SparkEntry {
     // candidates; at 0.7 it would miss ~11% of borderline pairs)
     val sig = docs
       .withColumn("band", explode(T.lshBandKeys(
-        T.minhashSignature(col("sh"), 32), 16, 2)))
+        T.minhashFromHashes(col("shh"), 32), 16, 2)))
       .select(col("doc_id"), col("band"))
     val cand = sig.select(col("band"), col("doc_id").as("a_id"))
       .join(sig.select(col("band"), col("doc_id").as("b_id")).hint("shuffle_hash"),
         Seq("band"))
       .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val bySide = docs.select(col("doc_id"), col("sh"))
     cand
-      .join(bySide.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      .join(docs.select(col("doc_id").as("a_id"), col("shh").as("a_sh"))
         .hint("shuffle_hash"), Seq("a_id"))
-      .join(bySide.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      .join(docs.select(col("doc_id").as("b_id"), col("shh").as("b_sh"))
         .hint("shuffle_hash"), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), T.jaccardPermille(col("a_sh"), col("b_sh")).as("jacc_pm"))
+      .select(col("a_id"), col("b_id"),
+        T.jaccardHashesPermille(col("a_sh"), col("b_sh")).as("jacc_pm"))
       .filter(col("jacc_pm") >= 700)
   }
 

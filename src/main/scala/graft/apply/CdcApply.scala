@@ -59,7 +59,15 @@ object CdcApply {
   final case class ApplyConfig(parityMode: Boolean = false,
       saltBuckets: Option[Int] = None,
       wireSpec: Option[graft.core.WireTableSpec] = None,
-      keyColumns: Seq[String] = Seq("repo", "path"))
+      keyColumns: Seq[String] = Seq("repo", "path"),
+      // two-pass winner dedup ([[dedupLwwTwoPass]]): decide winner positions
+      // over light rows first, so the wide aggregation shuffle never carries
+      // losing payloads. Default ON — the big win for real catch-up batches
+      // (many events per key); costs one extra light aggregate + join, which
+      // tiny batches barely notice. saltBuckets overrides (the salted tree
+      // exists for key-flood skew, where pass 1's combine already absorbs
+      // the flood in two-pass form too — but keep the explicit knob honest).
+      twoPassDedup: Boolean = true)
 
   /** Trailing window of `lineage:b<N>` summary keys retained per stream —
     * older entries are pruned at commit so the snapshot summary stays O(1)
@@ -175,6 +183,62 @@ object CdcApply {
       .select(keyCols ++ Seq(col("_win.*"), col("_key_events")): _*)
   }
 
+  /** TWO-PASS LWW dedup (guide §8 "decide with small rows, move big rows
+    * once"): pass 1 aggregates only `(key, rank, seq, count)` — the winner
+    * POSITION per key — so its shuffle carries ~32 bytes per key-partition
+    * instead of the full event payload (content bytes). Pass 2 re-reads the
+    * events, keeps only rows matching a winner position (an inner join the
+    * planner broadcasts when the winner set is small; the payload columns of
+    * non-winners are never shuffled — and for a column-prunable source,
+    * pass 1 never even READS the payload columns), then runs the same exact
+    * [[dedupLww]]-style final aggregate over the surviving handful to
+    * resolve position ties identically to the single-pass form.
+    *
+    * Equivalence: the final aggregate is the same `lww_max_by` over the same
+    * candidate rows that would have won the single-pass aggregate (pass 1
+    * computes the exact per-key max position, and the join keeps every row
+    * AT that position — a superset containing the single-pass winner), and
+    * `_key_events` comes from pass 1's per-key count over ALL events, like
+    * the single-pass `count(lit(1))`. Spec-asserted equal to [[dedupLww]].
+    *
+    * Cost note: the source is read twice. Worth it when the dedup ratio is
+    * high (CDC catch-up streams: many events per key) or payloads are heavy;
+    * for tiny micro-batches the extra join/aggregate jobs can cost more than
+    * they save — [[ApplyConfig.twoPassDedup]] picks per caller.
+    */
+  def dedupLwwTwoPass(events: DataFrame,
+      keys: Seq[String] = Seq("repo", "path"),
+      keyLanding: (String, Column) => Column = rawKey): DataFrame = {
+    val keyed = withKeyCols(events, keys, keyLanding)
+      .withColumn("_rank", vgtid_rank(col("vgtid")))
+    val keyCols = keys.map(k => col(s"_$k"))
+    // pass 1: exact winner position per key, ObjectHashAggregate-eligible
+    // (LwwMaxBy with a 2-long payload), plus the per-key event count
+    val light = keyed
+      .groupBy(keyCols: _*)
+      .agg(graft.functions.LwwMaxBy.lww_max_by(
+        struct(col("_rank"), col("event_seq")), col("_rank"), col("event_seq")).as("_wpos"),
+        count(lit(1)).as("_key_events"))
+      .select(keys.map(k => col(s"_$k").as(s"_w_$k")) ++ Seq(
+        col("_wpos._rank").as("_wrank"), col("_wpos.event_seq").as("_wseq"),
+        col("_key_events")): _*)
+    // pass 2: keep only rows at a winning position (null-safe on keys — the
+    // aggregate groups null keys, a === join would drop them)
+    val cond = keys.map(k => col(s"_$k") <=> col(s"_w_$k")) ++ Seq(
+      col("_rank") <=> col("_wrank"), col("event_seq") <=> col("_wseq"))
+    val winners = keyed.join(light, cond.reduce(_ && _), "inner")
+      .drop(keys.map(k => s"_w_$k") :+ "_wrank" :+ "_wseq": _*)
+    // final exact pick among position ties — identical semantics (and
+    // nondeterminism class) to the single-pass aggregate
+    val payload = events.columns.map(col) :+ col("_rank")
+    winners
+      .groupBy(keyCols: _*)
+      .agg(graft.functions.LwwMaxBy.lww_max_by(
+        struct(payload: _*), col("_rank"), col("event_seq")).as("_win"),
+        max(col("_key_events")).as("_key_events"))
+      .select(keyCols ++ Seq(col("_win.*"), col("_key_events")): _*)
+  }
+
   /** Explicitly SALTED LWW dedup (north-star "salting merge keys"): a
     * two-level aggregation tree — partial LWW per (key, salt) then final LWW
     * per key — for the pathological case the map-side combine alone can't
@@ -240,12 +304,17 @@ object CdcApply {
     * in the shard nulls `last_pk`; otherwise the max-seq COPY row's
     * watermark is kept. Keys never span shards, so per-key `_s_key_events`
     * sums to the shard's processed rows.
+    *
+    * The same aggregation also carries the per-kind staged row counts
+    * (`_kind` is a partition column of the staged read), so ONE job yields
+    * cursors, lineage stats, AND the upsert/delete counts the apply reports
+    * — previously three separate jobs per micro-batch.
     */
   private def statsFromStaged(winners: DataFrame): DataFrame =
     winners
       .select(col("_s_keyspace"), col("_s_shard"), col("_s_vgtid"), col("_s_rank"),
         col("_s_seq"), col("_s_copy"), col("_s_pk_repo"), col("_s_pk_path"),
-        col("_s_key_events"), col("_s_schema_ver"))
+        col("_s_key_events"), col("_s_schema_ver"), col("_kind"))
       .groupBy(col("_s_keyspace"), col("_s_shard")).agg(
         max_by(col("_s_vgtid"), struct(col("_s_rank"), col("_s_seq"))).as("_s_vend"),
         max(when(col("_s_copy"), lit(0)).otherwise(lit(1))).as("_s_catchup"),
@@ -254,7 +323,9 @@ object CdcApply {
         max_by(col("_s_pk_path"),
           when(col("_s_copy"), col("_s_seq")).otherwise(lit(-1L))).as("_s_pk_path2"),
         sum(col("_s_key_events")).as("_s_rows"),
-        max(col("_s_schema_ver")).as("_s_max_sv"))
+        max(col("_s_schema_ver")).as("_s_max_sv"),
+        sum(when(col("_kind") === "u", lit(1L)).otherwise(lit(0L))).as("_n_u"),
+        sum(when(col("_kind") === "d", lit(1L)).otherwise(lit(0L))).as("_n_d"))
 
   /** Per-shard stats by re-aggregating the RAW batch (second source scan) —
     * used only in parity mode, where deletes are filtered out before dedup
@@ -324,8 +395,9 @@ object CdcApply {
     val keyLanding = conf.wireSpec.map(wireKey).getOrElse(rawKey)
     val filtered = if (conf.parityMode) events.filter(col("op") =!= "delete") else events
     val deduped = conf.saltBuckets match {
-      case Some(salts) => dedupLwwSalted(filtered, salts, keys, keyLanding)
-      case None        => dedupLww(filtered, keys, keyLanding)
+      case Some(salts)                 => dedupLwwSalted(filtered, salts, keys, keyLanding)
+      case None if conf.twoPassDedup   => dedupLwwTwoPass(filtered, keys, keyLanding)
+      case None                        => dedupLww(filtered, keys, keyLanding)
     }
     val spark = events.sparkSession
 
@@ -371,28 +443,33 @@ object CdcApply {
     val stage = table.stageWrite(staged.repartition(col("_bucket")))
     try {
       val affected = table.stagedBuckets(stage)
-      // parquet-footer counts: no data rescan
-      val upsertCount = table.stagedCount(spark, stage, "u")
-      val deleteCount = table.stagedCount(spark, stage, "d")
 
-      // --- per-shard cursors/stats from a column-pruned read of the staged
-      // winners (or, in parity mode, from a re-scan of the raw batch so
-      // dropped deletes still advance positions; evolution tracking stays
-      // at the base version there — parity mode models the reference's
-      // After-only comparison, not live schema changes) ---
+      // --- ONE column-pruned read of the staged winners yields the per-kind
+      // row counts AND the per-shard cursors/stats (previously three jobs:
+      // two footer counts + a stats aggregation). In parity mode the shard
+      // stats come from a re-scan of the raw batch instead, so dropped
+      // deletes still advance positions; evolution tracking stays at the
+      // base version there — parity mode models the reference's After-only
+      // comparison, not live schema changes. ---
       var maxWireSv = 1
+      var upsertCount = 0L
+      var deleteCount = 0L
+      val stagedRows = table.stagedAllDf(spark, stage) match {
+        case None => Array.empty[org.apache.spark.sql.Row]
+        case Some(all) => statsFromStaged(all).collect()
+      }
+      stagedRows.foreach { r =>
+        upsertCount += r.getLong(8)
+        deleteCount += r.getLong(9)
+      }
       val stats: Map[String, ShardStats] =
         if (conf.parityMode) statsFromEvents(events, prevState, streamName)
-        else {
-          val kinds = Seq("u", "d").flatMap(table.stagedKindDf(spark, stage, _))
-          if (kinds.isEmpty) Map.empty
-          else statsFromStaged(kinds.reduce(_.unionByName(_))).collect().map { r =>
-            maxWireSv = math.max(maxWireSv, r.getInt(7))
-            statsFromRow(r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
-              Option(r.getString(4)), Option(r.getString(5)), r.getLong(6), prevState,
-              streamName)
-          }.toMap
-        }
+        else stagedRows.map { r =>
+          maxWireSv = math.max(maxWireSv, r.getInt(7))
+          statsFromRow(r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
+            Option(r.getString(4)), Option(r.getString(5)), r.getLong(6), prevState,
+            streamName)
+        }.toMap
       val cursors = stats.map { case (s, st) => s -> st.cursor }
 
       // --- prune overwritten/deleted keys out of existing files (only the

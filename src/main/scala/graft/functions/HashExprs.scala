@@ -215,6 +215,162 @@ object MinHashExpr {
     GraftBridge.column(MinHashExpr(GraftBridge.expression(shingles), numHashes))
 }
 
+/** 64-bit hashes of the distinct character k-shingles of a string — the
+  * [[ShinglesExpr]] shingle walk fused with [[SimHash64Expr.tokenHash]], so
+  * the near-dup pipeline can persist/shuffle 8-byte longs instead of ~20-char
+  * strings (the signature base hashes are EXACTLY the ones
+  * [[MinHashExpr.signature]] derives from the string shingles, so MinHash
+  * signatures — and therefore LSH band keys — are bit-identical to the
+  * string-shingle path). Order matches the string path's first-occurrence
+  * order; hashes of distinct shingles are kept distinct-by-string (a 64-bit
+  * collision inside one document would be deduped by the downstream set
+  * semantics anyway — see [[JaccardHashesExpr]]).
+  */
+case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1 (got $k)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+    }
+  }
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashesExpr.shingleHashes(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashesExpr.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+object ShingleHashesExpr {
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val arr = ShinglesExpr.shingles(text, k)
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = SimHash64Expr.tokenHash(arr.getUTF8String(i)); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  def shingleHashes(text: Column, k: Int): Column =
+    GraftBridge.column(ShingleHashesExpr(
+      GraftBridge.expression(text.cast(StringType)), k))
+}
+
+/** MinHash signature from PRE-HASHED shingles (`array<long>` of
+  * [[SimHash64Expr.tokenHash]] values): the same `numHashes` splitmix64
+  * derivations per base hash as [[MinHashExpr]], so signatures are
+  * bit-identical to the string-shingle path.
+  */
+case class MinHashFromHashesExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got $other")
+    }
+  }
+  override def nullSafeEval(v: Any): Any =
+    MinHashFromHashesExpr.signature(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashFromHashesExpr.signature($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashesExpr =
+    copy(child = newChild)
+}
+
+object MinHashFromHashesExpr {
+  def signature(arr: ArrayData, numHashes: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = arr.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val h = mix64(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  def minhash(hashes: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashFromHashesExpr(GraftBridge.expression(hashes), numHashes))
+}
+
+/** Jaccard per-mille over two pre-hashed shingle arrays, with SET semantics
+  * (elements deduped): `floor(|A∩B| * 1000 / |A∪B|)`, the same integer math
+  * as `size(array_intersect)/size(array_union)` over the string shingles.
+  * One sorted-merge pass per pair instead of two generic array-set builds.
+  */
+case class JaccardHashesExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected array<bigint> pair, got $other")
+    }
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardHashesExpr.jaccardPermille(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaccardHashesExpr.jaccardPermille($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardHashesExpr =
+    copy(left = l, right = r)
+}
+
+object JaccardHashesExpr {
+  private def sortedDistinct(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    // in-place dedup (arrays are distinct-by-string already; this enforces
+    // set semantics under 64-bit hash collisions too)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == n) a else java.util.Arrays.copyOf(a, w)
+  }
+
+  def jaccardPermille(x: ArrayData, y: ArrayData): Long = {
+    val a = sortedDistinct(x)
+    val b = sortedDistinct(y)
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val uni = a.length.toLong + b.length.toLong - inter
+    if (uni == 0L) 0L else inter * 1000L / uni
+  }
+
+  def jaccardPermille(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardHashesExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
 /** Winnowing-style rolling-hash fingerprint: the min polynomial hash over all
   * `window`-char substrings (Karp–Rabin rolling update, O(n) per document).
   * Used for cheap document identity across whitespace-preserving edits.

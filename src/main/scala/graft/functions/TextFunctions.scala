@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace token count; empty/blank → 0. */
-  def tokenCount(text: Column): Column =
+  /** Whitespace token count; empty/blank → 0. Compiled single pass
+    * ([[WsTokenCountExpr]]) with split-semantics parity; the HOF/regex
+    * formulation below is the spec oracle.
+    */
+  def tokenCount(text: Column): Column = TextCountExprs.wsTokens(text)
+
+  private[graft] def tokenCountRegex(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
@@ -31,18 +36,33 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(bpeTokenPattern)).cast("long")
 
-  /** Occurrences of a literal substring (exact integer math in any engine). */
+  /** Occurrences of a literal substring (exact integer math in any engine).
+    * Compiled single-pass scan ([[CountOccurrencesExpr]], replace()
+    * semantics); [[occurrencesReplace]] is the spec oracle.
+    */
   def occurrences(text: Column, needle: String): Column =
+    TextCountExprs.occurrences(text, needle)
+
+  private[graft] def occurrencesReplace(text: Column, needle: String): Column =
     ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length).cast("long")
 
   /** Per-mille (0–1000) ratio helpers — integer division, bit-stable. */
   def permille(part: Column, whole: Column): Column =
     when(whole === 0, lit(0L)).otherwise(floor((part * 1000L) / whole).cast("long"))
 
-  def alphaCount(text: Column): Column = length(regexp_replace(text, "[^A-Za-z]", ""))
-  def digitCount(text: Column): Column = length(regexp_replace(text, "[^0-9]", ""))
-  def spaceCount(text: Column): Column = length(regexp_replace(text, "[^ ]", ""))
-  def punctCount(text: Column): Column = length(regexp_replace(text, "[^.,!?;:]", ""))
+  // single-pass ASCII class counts ([[CharClassCountExpr]]); the
+  // regexp_replace length-delta forms are the spec oracles
+  def alphaCount(text: Column): Column = TextCountExprs.classCount(text, TextCountExprs.ClassAlpha)
+  def digitCount(text: Column): Column = TextCountExprs.classCount(text, TextCountExprs.ClassDigit)
+  def spaceCount(text: Column): Column = TextCountExprs.classCount(text, TextCountExprs.ClassSpace)
+  def punctCount(text: Column): Column = TextCountExprs.classCount(text, TextCountExprs.ClassPunct)
+
+  private[graft] def alphaCountRegex(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", ""))
+  private[graft] def spaceCountRegex(text: Column): Column =
+    length(regexp_replace(text, "[^ ]", ""))
+  private[graft] def punctCountRegex(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", ""))
 
   /** Per-mille of characters that are punctuation (C4/Gopher-style signal:
     * heavy punctuation marks boilerplate/code, none marks run-on scrape).
@@ -70,8 +90,11 @@ object TextFunctions {
     val len = length(text)
     val alphaPm = permille(alphaCount(text), len)
     val tokens = tokenCount(text)
+    // `length(regexp_replace(text, "\\s+", ""))` == numChars − (\s chars):
+    // \s is ASCII-only in Java regex, so the single-pass class count is exact
+    val nonWsLen = len - TextCountExprs.classCount(text, TextCountExprs.ClassRegexWs)
     val meanTokLenPm = when(tokens === 0, lit(0L))
-      .otherwise(floor((length(regexp_replace(text, "\\s+", "")) * 1000L) / tokens).cast("long"))
+      .otherwise(floor((nonWsLen * 1000L) / tokens).cast("long"))
     // mean token length in [3,12] chars is "natural"; permille-scaled band
     val tokOk = when(meanTokLenPm.between(3000L, 12000L), lit(1000L)).otherwise(lit(0L))
     val spacePm = permille(spaceCount(text), len)
@@ -124,6 +147,25 @@ object TextFunctions {
     */
   def minhashSignature(shingleArr: Column, h: Int): Column =
     MinHashExpr.minhash(shingleArr, h)
+
+  /** 64-bit hashes of the distinct k-shingles ([[ShingleHashesExpr]]): the
+    * compact shingle-set representation the near-dup pipeline persists and
+    * shuffles — 8 bytes per shingle instead of a ~k-char string.
+    */
+  def shingleHashes(text: Column, k: Int): Column =
+    ShingleHashesExpr.shingleHashes(text, k)
+
+  /** MinHash signature from pre-hashed shingles — bit-identical to
+    * [[minhashSignature]] over the corresponding string shingles.
+    */
+  def minhashFromHashes(hashes: Column, h: Int): Column =
+    MinHashFromHashesExpr.minhash(hashes, h)
+
+  /** Exact Jaccard (per-mille) over pre-hashed shingle sets
+    * ([[JaccardHashesExpr]]): same integer math as [[jaccardPermille]].
+    */
+  def jaccardHashesPermille(a: Column, b: Column): Column =
+    JaccardHashesExpr.jaccardPermille(a, b)
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band → candidate-bucket keys (join on any equal band).

@@ -18,10 +18,19 @@ object VectorFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** HOF formulation kept as the semantics oracle for [[cosine]]'s compiled
+    * expression (spec-asserted bit equality).
+    */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
+
+  /** Compiled cosine ([[CosineSimExpr]]): identical accumulation order and
+    * zero-norm guard as the HOF form, one codegen'd loop per pair instead of
+    * ~3×dim interpreted lambda calls.
+    */
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosineCol(a, b)
 
   /** Exact brute-force cosine top-k: broadcast the (small) query set against
     * the corpus; rank per query. The baseline every ANN variant is scored
@@ -63,7 +72,13 @@ object VectorFunctions {
     * hash evaluations (the round-2 version rebuilt each plane per row via
     * `xxhash64`, ~dim×bits×tables hashes per row).
     */
-  def signBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
+  def signBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column =
+    VectorExprs.signBucketCol(vec, planeSigns(dim, bits, seed))
+
+  /** HOF formulation kept as the semantics oracle for [[signBucket]]'s
+    * compiled expression (spec-asserted bit equality).
+    */
+  private[graft] def signBucketHof(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
     val planes = planeSigns(dim, bits, seed)
     val buckets = (0 until bits).map { b =>
       val proj = aggregate(

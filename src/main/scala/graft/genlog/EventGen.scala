@@ -85,9 +85,12 @@ object EventGen {
     shardIdx + c.numShards * local
   }
 
-  def content(repo: String, path: String, ver: Long, c: GenConfig): String = {
-    val h = sha256Hex(s"$repo|$path|$ver|${c.seed}")
-    val blocks = 1 + (java.lang.Long.parseUnsignedLong(h.substring(0, 12), 16) % c.contentBlocks).toInt
+  def content(repo: String, path: String, ver: Long, c: GenConfig): String =
+    content(repo, path, ver, c.seed, c.contentBlocks)
+
+  def content(repo: String, path: String, ver: Long, seed: Long, contentBlocks: Int): String = {
+    val h = sha256Hex(s"$repo|$path|$ver|$seed")
+    val blocks = 1 + (java.lang.Long.parseUnsignedLong(h.substring(0, 12), 16) % contentBlocks).toInt
     val block = s"fn block_${h.substring(0, 12)}() { return \"${h.substring(12, 44)}\"; }\n"
     val sb = new StringBuilder(32 + block.length * blocks)
     sb.append(s"// $repo/$path @v$ver\n")

@@ -312,6 +312,18 @@ final class LakeTable(val root: String, spark: SparkSession) {
     if (!fs.exists(p)) None else Some(spark2.read.parquet(p.toString))
   }
 
+  /** BOTH staged kinds in one read, `_kind`/`_bucket` recovered as partition
+    * columns from the directory layout — lets the apply derive upsert/delete
+    * counts AND per-shard cursor stats in ONE Spark job instead of three
+    * (two footer-count jobs + a stats aggregation). None when the batch
+    * staged nothing.
+    */
+  private[graft] def stagedAllDf(spark2: SparkSession, stage: Path): Option[DataFrame] = {
+    val f = fs
+    val hasAny = Seq("u", "d").exists(k => f.exists(new Path(stage, s"_kind=$k")))
+    if (!hasAny) None else Some(spark2.read.parquet(stage.toString))
+  }
+
   /** Parquet-footer row count of one staged kind (no data scan). */
   private[graft] def stagedCount(spark2: SparkSession, stage: Path, kind: String): Long =
     stagedKindDf(spark2, stage, kind).map(_.count()).getOrElse(0L)

@@ -143,6 +143,24 @@ class ReplayParitySpec extends AnyFunSuite with SparkSupport {
     assert(n1 == n2 && n1 == ev.count())
   }
 
+  test("dedupLwwTwoPass (light winner pass + join-back) ≡ dedupLww, " +
+    "including _key_events and full payload columns") {
+    val c = GenConfig(numEvents = 10000L, numShards = 4, numRepos = 30, pathsPerRepo = 20,
+      copyRows = 1000L, deleteRatio = 0.15)
+    val ev = ChangelogGen.fullStream(spark, c)
+    val a = CdcApply.dedupLww(ev)
+    val t = CdcApply.dedupLwwTwoPass(ev)
+    assert(a.columns.toSeq == t.columns.toSeq, "output schema must match")
+    assert(a.count() == t.count())
+    assert(a.exceptAll(t).isEmpty && t.exceptAll(a).isEmpty,
+      "two-pass winners (payloads + counts) must match single-pass exactly")
+    // composite key + wire landing path too
+    val ev2 = ev.limit(2000)
+    val a2 = CdcApply.dedupLww(ev2, keys = Seq("repo", "path"))
+    val t2 = CdcApply.dedupLwwTwoPass(ev2, keys = Seq("repo", "path"))
+    assert(a2.exceptAll(t2).isEmpty && t2.exceptAll(a2).isEmpty)
+  }
+
   test("salted apply end-to-end reaches the same oracle state") {
     val c = GenConfig(numEvents = 8000L, numShards = 2, numRepos = 5, pathsPerRepo = 4,
       zipfSkew = 6.0) // few keys + heavy skew: the key-flood regime salting targets
