@@ -84,6 +84,106 @@ object BenchExtra {
         time("probe-encoder-all")(noop(enc))
         time("probe-encoder-light")(noop(enc.select(col("after.repo"), col("after.path"),
           col("vgtid"), col("event_seq"))))
+      case "replay-ab" =>
+        // old replay path (encoder gen + single-pass dedup) vs new (expr gen
+        // + two-pass dedup), ALTERNATING in one JVM so host-speed drift hits
+        // both arms equally — the only trustworthy comparison on this box
+        // (the parallel-throttle axis swings 3-4x between minutes and the
+        // single-thread canary cannot see it)
+        val c = Bench.benchGen(sfDir)
+        def stream(old: Boolean) =
+          if (old) ChangelogGen.copyPhaseViaEncoder(spark, c)
+            .unionByName(ChangelogGen.changelogViaEncoder(spark, c))
+          else ChangelogGen.fullStream(spark, c)
+        def run(old: Boolean): Double = {
+          val root = java.nio.file.Files.createTempDirectory("graft-ab").toString + "/t"
+          val table = new LakeTable(root, spark)
+          table.create(ChangeEvent.rowSchema, numBuckets = 64)
+          val t0 = System.nanoTime()
+          CdcApply.replayAll(table, stream(old),
+            CdcApply.ApplyConfig(twoPassDedup = !old))
+          val s = (System.nanoTime() - t0) / 1e9
+          table.drop()
+          s
+        }
+        // warm both arms
+        val cw = c.copy(numEvents = 1000000L, copyRows = 100000L)
+        Seq(true, false).foreach { o =>
+          val root = java.nio.file.Files.createTempDirectory("graft-abw").toString + "/t"
+          val table = new LakeTable(root, spark)
+          table.create(ChangeEvent.rowSchema, numBuckets = 64)
+          CdcApply.replayAll(table,
+            if (o) ChangelogGen.copyPhaseViaEncoder(spark, cw)
+              .unionByName(ChangelogGen.changelogViaEncoder(spark, cw))
+            else ChangelogGen.fullStream(spark, cw),
+            CdcApply.ApplyConfig(twoPassDedup = !o))
+          table.drop()
+        }
+        val pairs = (1 to reps).map { i =>
+          val o = run(true); val n = run(false)
+          println(f"EXTRA replay-ab pair$i old=$o%.2f new=$n%.2f ratio=${o / n}%.2f " +
+            f"canary=${HostCanary.best()}%.3f")
+          (o, n)
+        }
+        println(f"EXTRA replay-ab min old=${pairs.map(_._1).min}%.2f " +
+          f"new=${pairs.map(_._2).min}%.2f")
+      case "replay-matrix" =>
+        // {encoder, expr} × {single, two-pass}: isolate which change moves
+        // the replay, interleaved for host-drift fairness
+        val c = Bench.benchGen(sfDir)
+        def stream(enc: Boolean) =
+          if (enc) ChangelogGen.copyPhaseViaEncoder(spark, c)
+            .unionByName(ChangelogGen.changelogViaEncoder(spark, c))
+          else ChangelogGen.fullStream(spark, c)
+        def run(enc: Boolean, twoPass: Boolean): Double = {
+          val root = java.nio.file.Files.createTempDirectory("graft-mx").toString + "/t"
+          val table = new LakeTable(root, spark)
+          table.create(ChangeEvent.rowSchema, numBuckets = 64)
+          val t0 = System.nanoTime()
+          CdcApply.replayAll(table, stream(enc), CdcApply.ApplyConfig(twoPassDedup = twoPass))
+          val s = (System.nanoTime() - t0) / 1e9
+          table.drop()
+          s
+        }
+        val arms = Seq(("enc-1p", true, false), ("enc-2p", true, true),
+          ("expr-1p", false, false), ("expr-2p", false, true))
+        // one warm lap first
+        arms.foreach { case (_, e, t) =>
+          val cw = c.copy(numEvents = 1000000L, copyRows = 100000L)
+          val root = java.nio.file.Files.createTempDirectory("graft-mxw").toString + "/t"
+          val table = new LakeTable(root, spark)
+          table.create(ChangeEvent.rowSchema, numBuckets = 64)
+          CdcApply.replayAll(table,
+            if (e) ChangelogGen.copyPhaseViaEncoder(spark, cw)
+              .unionByName(ChangelogGen.changelogViaEncoder(spark, cw))
+            else ChangelogGen.fullStream(spark, cw),
+            CdcApply.ApplyConfig(twoPassDedup = t))
+          table.drop()
+        }
+        val results = (1 to reps).map { i =>
+          val r = arms.map { case (label, e, t) => label -> run(e, t) }
+          println("EXTRA matrix " + r.map { case (l, s) => f"$l=$s%.2f" }.mkString(" ") +
+            f" canary=${HostCanary.best()}%.3f")
+          r
+        }
+        val mins = arms.map(_._1).map { l =>
+          l -> results.map(_.toMap.apply(l)).min }
+        println("EXTRA matrix-min " + mins.map { case (l, s) => f"$l=$s%.2f" }.mkString(" "))
+      case "small-batch" =>
+        // two-pass vs single-pass dedup on an oracle-sized (4000-event) batch
+        import graft.genlog.GenConfig
+        val c = GenConfig(numEvents = 4000L, numShards = 2, numRepos = 20, pathsPerRepo = 10)
+        def replayOnce(twoPass: Boolean): Unit = {
+          val scratch = java.nio.file.Files.createTempDirectory("graft-sb").toString
+          val table = new LakeTable(s"$scratch/t", spark)
+          table.create(ChangeEvent.rowSchema, numBuckets = 4)
+          CdcApply.replayAll(table, ChangelogGen.fullStream(spark, c),
+            CdcApply.ApplyConfig(twoPassDedup = twoPass))
+          table.read().count()
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+        }
+        time("small-twopass")(replayOnce(true))
+        time("small-singlepass")(replayOnce(false))
       case "gen-probe3" =>
         val c = Bench.benchGen(sfDir)
         import org.apache.spark.sql.functions._

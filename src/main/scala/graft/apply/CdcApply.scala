@@ -61,13 +61,15 @@ object CdcApply {
       wireSpec: Option[graft.core.WireTableSpec] = None,
       keyColumns: Seq[String] = Seq("repo", "path"),
       // two-pass winner dedup ([[dedupLwwTwoPass]]): decide winner positions
-      // over light rows first, so the wide aggregation shuffle never carries
-      // losing payloads. Default ON — the big win for real catch-up batches
-      // (many events per key); costs one extra light aggregate + join, which
-      // tiny batches barely notice. saltBuckets overrides (the salted tree
-      // exists for key-flood skew, where pass 1's combine already absorbs
-      // the flood in two-pass form too — but keep the explicit knob honest).
-      twoPassDedup: Boolean = true)
+      // over light rows + a Bloom pre-filter, so the wide aggregation
+      // shuffle never carries losing payloads (guide §3.2/§8). Default OFF:
+      // interleaved A/B at the bench shape (11M events, ~300-byte payloads,
+      // 200k keys, local[32] fast disks) measured single-pass 6.9 s vs
+      // two-pass 8.2 s — the extra source pass + Bloom build outweigh the
+      // payload-shuffle savings until payloads are much heavier than keys
+      // (multi-KB rows, or remote/slow shuffle fabric), which is when this
+      // knob earns its keep. Result-identical either way (spec-asserted).
+      twoPassDedup: Boolean = false)
 
   /** Trailing window of `lineage:b<N>` summary keys retained per stream —
     * older entries are pruned at commit so the snapshot summary stays O(1)
@@ -208,12 +210,37 @@ object CdcApply {
     */
   def dedupLwwTwoPass(events: DataFrame,
       keys: Seq[String] = Seq("repo", "path"),
-      keyLanding: (String, Column) => Column = rawKey): DataFrame = {
+      keyLanding: (String, Column) => Column = rawKey): DataFrame =
+    dedupLwwTwoPassManaged(events, keys, keyLanding)._1
+
+  /** Two-pass with resource handle: `cleanup` unpersists the winner-position
+    * relation and drops the Bloom broadcast — call it once the returned
+    * DataFrame has been fully consumed (the apply calls it right after the
+    * staged write materializes).
+    *
+    * Winner pre-filter mechanics (guide §3.2 manual Bloom): the light pass's
+    * exact per-key winner positions feed a driver-built Bloom filter over
+    * `xxhash64(key…, rank, seq)`; pass 2 FILTERS the events on membership —
+    * never a join against the big side, so no planner/AQE strategy choice
+    * can ever shuffle or broadcast the payload stream (an exact-position
+    * join formulation measured pathological: the static planner broadcast
+    * the 11M-row generator side off its tiny size estimate). False
+    * positives only admit LOSING rows — every true winner's exact position
+    * is in the filter, so the final exact aggregate's result is unchanged
+    * by construction, at any fpp. Per-key counts ride back via a
+    * winner-scale join between the two aggregate outputs (both sides have
+    * runtime stats, so AQE sizes that join safely).
+    */
+  private[graft] def dedupLwwTwoPassManaged(events: DataFrame,
+      keys: Seq[String] = Seq("repo", "path"),
+      keyLanding: (String, Column) => Column = rawKey): (DataFrame, () => Unit) = {
     val keyed = withKeyCols(events, keys, keyLanding)
       .withColumn("_rank", vgtid_rank(col("vgtid")))
     val keyCols = keys.map(k => col(s"_$k"))
     // pass 1: exact winner position per key, ObjectHashAggregate-eligible
-    // (LwwMaxBy with a 2-long payload), plus the per-key event count
+    // (LwwMaxBy with a 2-long payload), plus the per-key event count.
+    // Persisted because it is consumed three times (count, Bloom build,
+    // count join) — ~32 bytes per key, spills to disk beyond memory.
     val light = keyed
       .groupBy(keyCols: _*)
       .agg(graft.functions.LwwMaxBy.lww_max_by(
@@ -222,21 +249,48 @@ object CdcApply {
       .select(keys.map(k => col(s"_$k").as(s"_w_$k")) ++ Seq(
         col("_wpos._rank").as("_wrank"), col("_wpos.event_seq").as("_wseq"),
         col("_key_events")): _*)
-    // pass 2: keep only rows at a winning position (null-safe on keys — the
-    // aggregate groups null keys, a === join would drop them)
-    val cond = keys.map(k => col(s"_$k") <=> col(s"_w_$k")) ++ Seq(
-      col("_rank") <=> col("_wrank"), col("event_seq") <=> col("_wseq"))
-    val winners = keyed.join(light, cond.reduce(_ && _), "inner")
-      .drop(keys.map(k => s"_w_$k") :+ "_wrank" :+ "_wseq": _*)
-    // final exact pick among position ties — identical semantics (and
-    // nondeterminism class) to the single-pass aggregate
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nKeys = light.count()
+    val eventHash = xxhash64(keyCols ++ Seq(col("_rank"), col("event_seq")): _*)
+    // empty batch: stat.bloomFilter NPEs on a zero-row input (null aggregate
+    // buffer) — and there is nothing to keep anyway
+    var bfB: Option[org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]] = None
+    val winFilter: Column =
+      if (nKeys == 0) lit(false)
+      else {
+        val lightHash = xxhash64(
+          keys.map(k => col(s"_w_$k")) ++ Seq(col("_wrank"), col("_wseq")): _*)
+        // fpp 1% ≈ 9.6 bits/key: ~240 KB per million keys on the driver and
+        // in each task — the §3.2 cost, paid instead of any big-side shuffle
+        val bf = light.select(lightHash.as("_h")).stat.bloomFilter("_h", nKeys, 0.01)
+        val b = events.sparkSession.sparkContext.broadcast(bf)
+        bfB = Some(b)
+        // asNondeterministic (guide §4.4): a deterministic predicate would be
+        // PUSHED THROUGH the source projection, rewriting the condition in
+        // terms of the projection's expressions — for an expression-defined
+        // source (the synthetic changelog) that inlines the full payload
+        // subtree into the filter and re-evaluates it per extraction
+        // (measured 25+ s vs ~7 s). Non-deterministic pins the filter ABOVE
+        // the projection: rows materialize once, then the cheap probe runs.
+        val mightWin = udf((h: Long) => b.value.mightContainLong(h)).asNondeterministic()
+        mightWin(eventHash)
+      }
+    // pass 2: membership filter (pushes below the payload projection — for
+    // a column-prunable source the losing rows' payload columns are never
+    // computed), then the SAME exact aggregate as dedupLww over the
+    // surviving winners+FPs — identical winner semantics, tie class included
+    val filtered = keyed.filter(winFilter)
     val payload = events.columns.map(col) :+ col("_rank")
-    winners
+    val winners = filtered
       .groupBy(keyCols: _*)
       .agg(graft.functions.LwwMaxBy.lww_max_by(
-        struct(payload: _*), col("_rank"), col("event_seq")).as("_win"),
-        max(col("_key_events")).as("_key_events"))
+        struct(payload: _*), col("_rank"), col("event_seq")).as("_win"))
+    // attach pass-1's per-key event counts (null-safe: null keys group)
+    val joinCond = keys.map(k => col(s"_$k") <=> col(s"_w_$k")).reduce(_ && _)
+    val out = winners.join(light, joinCond, "inner")
       .select(keyCols ++ Seq(col("_win.*"), col("_key_events")): _*)
+    (out, () => { light.unpersist(false); bfB.foreach(_.destroy()); () })
   }
 
   /** Explicitly SALTED LWW dedup (north-star "salting merge keys"): a
@@ -394,10 +448,10 @@ object CdcApply {
     // see one identical typed key value
     val keyLanding = conf.wireSpec.map(wireKey).getOrElse(rawKey)
     val filtered = if (conf.parityMode) events.filter(col("op") =!= "delete") else events
-    val deduped = conf.saltBuckets match {
-      case Some(salts)                 => dedupLwwSalted(filtered, salts, keys, keyLanding)
-      case None if conf.twoPassDedup   => dedupLwwTwoPass(filtered, keys, keyLanding)
-      case None                        => dedupLww(filtered, keys, keyLanding)
+    val (deduped, cleanupDedup) = conf.saltBuckets match {
+      case Some(salts)               => (dedupLwwSalted(filtered, salts, keys, keyLanding), () => ())
+      case None if conf.twoPassDedup => dedupLwwTwoPassManaged(filtered, keys, keyLanding)
+      case None                      => (dedupLww(filtered, keys, keyLanding), () => ())
     }
     val spark = events.sparkSession
 
@@ -440,7 +494,21 @@ object CdcApply {
     val staged = deduped.select(dataCols ++ Seq(
       when(col("op") === "delete", lit("d")).otherwise(lit("u")).as("_kind"),
       bucket.as("_bucket")) ++ statsCols: _*)
-    val stage = table.stageWrite(staged.repartition(col("_bucket")))
+    // phase timing for the optimization harness (BenchExtra): prints only
+    // when SPARK_GRAFT_APPLY_TIMING is set, zero cost otherwise
+    val timing = sys.env.contains("SPARK_GRAFT_APPLY_TIMING")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"APPLY_PHASE $name ${(now - tPhase) / 1e9}%.2f")
+      tPhase = now
+    }
+    // staged write is eager — once it returns, the dedup plan is fully
+    // consumed and its winner-position cache/Bloom broadcast can go
+    val stage =
+      try table.stageWrite(staged.repartition(col("_bucket")))
+      finally cleanupDedup()
+    phase("stage_write")
     try {
       val affected = table.stagedBuckets(stage)
 
@@ -462,6 +530,7 @@ object CdcApply {
         upsertCount += r.getLong(8)
         deleteCount += r.getLong(9)
       }
+      phase("staged_stats")
       val stats: Map[String, ShardStats] =
         if (conf.parityMode) statsFromEvents(events, prevState, streamName)
         else stagedRows.map { r =>
@@ -490,7 +559,9 @@ object CdcApply {
           // O(buckets), independent of parallelism
           table.writeDataFiles(survivors.repartition(col("_bucket")), snap.schemaVersion)
         }
+      phase("survivors")
       val newFiles = table.adoptStagedUpserts(stage, snap.schemaVersion) ++ survivorFiles
+      phase("adopt")
 
       // --- transactional cursor + lineage commit ---
       val merged = cursors.values.foldLeft(prevState) { (st, c) =>
@@ -540,6 +611,7 @@ object CdcApply {
           "cursors" -> merged.toJson,
           s"lineage:b$batchId" -> lineage) ++ announce,
         dropSummaryKeys = stale)
+      phase("commit")
       ApplyResult(committed, upsertCount, deleteCount, skipped = false, stats = stats,
         maxSchemaVersion = maxWireSv)
     } finally table.dropStage(stage)

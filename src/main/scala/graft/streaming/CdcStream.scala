@@ -78,6 +78,12 @@ object CdcStream {
       // (data + cursors), the query stops cleanly, and the NEXT sync
       // resumes from the checkpoint — a partial sync, never a failure.
       timeoutSeconds: Option[Long] = None,
+      // two-pass LWW dedup (CdcApply.dedupLwwTwoPass): winner positions
+      // decided over light rows + Bloom pre-filter before any payload
+      // shuffles. Default OFF per measurement (see ApplyConfig.twoPassDedup)
+      // — opt in for heavy-payload streams where shuffling losing payloads
+      // dominates.
+      twoPassDedup: Boolean = false,
       // Avro schema registry (north-star "Avro-driven schema evolution"):
       // wire schema_version → Avro record JSON. When a batch's winners
       // carry a version above the applied watermark (summary
@@ -514,7 +520,8 @@ object CdcStream {
           conf = CdcApply.ApplyConfig(parityMode = rc.parityMode,
             wireSpec = rc.wireTable.map(_.spec).orElse(
               if (rc.wirePayload) Some(graft.core.WireTableSpec.repoProfile) else None),
-            keyColumns = rc.wireTable.map(_.keys).getOrElse(Seq("repo", "path"))),
+            keyColumns = rc.wireTable.map(_.keys).getOrElse(Seq("repo", "path")),
+            twoPassDedup = rc.twoPassDedup),
           streamName = rc.streamName)
         if (!res.skipped) {
           batches += 1
