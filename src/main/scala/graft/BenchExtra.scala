@@ -84,6 +84,46 @@ object BenchExtra {
         time("probe-encoder-all")(noop(enc))
         time("probe-encoder-light")(noop(enc.select(col("after.repo"), col("after.path"),
           col("vgtid"), col("event_seq"))))
+      case "minhash-parity" =>
+        // old string-shingle dedup_minhash formulation vs the shipped
+        // hashed-shingle one, full output comparison at this SF (the DuckDB
+        // oracle only runs at the small SFs; this checks the 64-bit
+        // hash-collision risk at the large corpus directly)
+        import org.apache.spark.sql.functions._
+        import graft.functions.{TextFunctions => T}
+        val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val mutated = docs0.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), lit(1),
+            greatest(size(split(trim(col("text")), "\\s+")) - 2, lit(1)))).as("text"))
+        val planted = docs0.unionByName(mutated)
+        val docs = planted.withColumn("sh", T.shingles(col("text"), 20))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sig = docs
+          .withColumn("band", explode(T.lshBandKeys(
+            T.minhashSignature(col("sh"), 32), 16, 2)))
+          .select(col("doc_id"), col("band"))
+        val cand = sig.select(col("band"), col("doc_id").as("a_id"))
+          .join(sig.select(col("band"), col("doc_id").as("b_id")).hint("shuffle_hash"),
+            Seq("band"))
+          .filter(col("a_id") < col("b_id"))
+          .dropDuplicates("a_id", "b_id")
+        val bySide = docs.select(col("doc_id"), col("sh"))
+        val old = cand
+          .join(bySide.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+            .hint("shuffle_hash"), Seq("a_id"))
+          .join(bySide.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+            .hint("shuffle_hash"), Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            T.jaccardPermille(col("a_sh"), col("b_sh")).as("jacc_pm"))
+          .filter(col("jacc_pm") >= 700)
+        val neu = SparkEntry.queries("dedup_minhash")(spark, sfDir)
+        val onlyOld = old.exceptAll(neu).count()
+        val onlyNew = neu.exceptAll(old).count()
+        println(s"EXTRA minhash-parity rows_old=${old.count()} rows_new=${neu.count()} " +
+          s"only_old=$onlyOld only_new=$onlyNew " +
+          (if (onlyOld == 0 && onlyNew == 0) "IDENTICAL" else "MISMATCH"))
+        docs.unpersist()
       case "replay-ab" =>
         // old replay path (encoder gen + single-pass dedup) vs new (expr gen
         // + two-pass dedup), ALTERNATING in one JVM so host-speed drift hits

@@ -522,7 +522,7 @@ object CdcApply {
       var maxWireSv = 1
       var upsertCount = 0L
       var deleteCount = 0L
-      val stagedRows = table.stagedAllDf(spark, stage) match {
+      val stagedRows = table.stagedAllDf(spark, stage, Some(staged.schema)) match {
         case None => Array.empty[org.apache.spark.sql.Row]
         case Some(all) => statsFromStaged(all).collect()
       }

@@ -316,12 +316,29 @@ final class LakeTable(val root: String, spark: SparkSession) {
     * columns from the directory layout — lets the apply derive upsert/delete
     * counts AND per-shard cursor stats in ONE Spark job instead of three
     * (two footer-count jobs + a stats aggregation). None when the batch
-    * staged nothing.
+    * staged nothing. `stagedSchema` (the schema of the DataFrame that was
+    * just written, WITH `_kind`/`_bucket`) skips the per-batch footer read +
+    * schema inference — the writer knows exactly what it wrote.
     */
-  private[graft] def stagedAllDf(spark2: SparkSession, stage: Path): Option[DataFrame] = {
+  private[graft] def stagedAllDf(spark2: SparkSession, stage: Path,
+      stagedSchema: Option[StructType] = None): Option[DataFrame] = {
     val f = fs
     val hasAny = Seq("u", "d").exists(k => f.exists(new Path(stage, s"_kind=$k")))
-    if (!hasAny) None else Some(spark2.read.parquet(stage.toString))
+    if (!hasAny) None
+    else {
+      val reader = stagedSchema match {
+        case Some(s) =>
+          // partition columns (_kind/_bucket) go last — the order Spark's
+          // partition discovery appends them in
+          val parts = Set("_kind", "_bucket")
+          val reordered = StructType(
+            s.fields.filterNot(f2 => parts.contains(f2.name)) ++
+              s.fields.filter(f2 => parts.contains(f2.name)))
+          spark2.read.schema(reordered)
+        case None => spark2.read
+      }
+      Some(reader.parquet(stage.toString))
+    }
   }
 
   /** Parquet-footer row count of one staged kind (no data scan). */

@@ -162,23 +162,70 @@ object CdcStream {
       resumeOptions(rc) // explicit state wins over starting_gtids (read.go:169-180)
   }
 
+  // metrics sidecar schema, fixed (see writeMetrics). Nullability mirrors
+  // what a Spark tuple-DataFrame write produced (numerics required, strings
+  // optional) so direct-written and historically Spark-written files merge
+  // cleanly under one inferred schema.
+  private lazy val metricsSchema: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def req(t: PrimitiveType.PrimitiveTypeName, n: String) =
+      Types.required(t).named(n)
+    def str(n: String) = Types.optional(BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(n)
+    Types.buildMessage()
+      .addField(req(INT64, "batch_id"))
+      .addField(str("keyspace"))
+      .addField(str("shard"))
+      .addField(str("vgtid_start"))
+      .addField(str("vgtid_end"))
+      .addField(req(INT64, "rows"))
+      .addField(req(INT64, "wall_ms"))
+      .addField(req(DOUBLE, "batch_events_per_sec"))
+      .addField(req(INT64, "committed_version"))
+      .named("spark_schema")
+  }
+
   /** Append one row per (batch, shard) to the table's metrics sidecar —
     * per-partition lineage (shard, vgtid range, rows) + throughput, the
     * north-star's per-micro-batch metrics table.
+    *
+    * Written DIRECTLY with the parquet writer on the driver: the rows are
+    * O(shards) per batch, and the previous `coalesce(1).write` formulation
+    * paid a full Spark job (driver→scheduler→task→commit protocol) per
+    * micro-batch just to emit a few hundred bytes. Same directory layout,
+    * same `part-*` naming contract ([[compactMetrics]]/[[backfillMetrics]]
+    * key on the prefix), byte-compatible schema.
     */
   private def writeMetrics(spark: SparkSession, tableRoot: String, batchId: Long,
       stats: Map[String, ShardStats], wallMs: Long, version: Long): Unit = {
-    import spark.implicits._
     if (stats.isEmpty) return
     val totalRows = stats.values.map(_.rows).sum
     val evPerSec = if (wallMs > 0) totalRows * 1000.0 / wallMs else 0.0
-    stats.toSeq.map { case (shard, st) =>
-      (batchId, st.cursor.keyspace, shard, st.vgtidStart, st.vgtidEnd,
-        st.rows, wallMs, evPerSec, version)
-    }.toDF("batch_id", "keyspace", "shard", "vgtid_start", "vgtid_end",
-      "rows", "wall_ms", "batch_events_per_sec", "committed_version")
-      .coalesce(1)
-      .write.mode("append").parquet(s"$tableRoot/metrics")
+    val dir = new org.apache.hadoop.fs.Path(s"$tableRoot/metrics")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = new org.apache.hadoop.fs.Path(dir,
+      s"part-direct-${java.util.UUID.randomUUID()}.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withType(metricsSchema)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      stats.toSeq.sortBy(_._1).foreach { case (shard, st) =>
+        val g = new org.apache.parquet.example.data.simple.SimpleGroup(metricsSchema)
+        g.add("batch_id", batchId)
+        g.add("keyspace", st.cursor.keyspace)
+        g.add("shard", shard)
+        g.add("vgtid_start", st.vgtidStart)
+        g.add("vgtid_end", st.vgtidEnd)
+        g.add("rows", st.rows)
+        g.add("wall_ms", wallMs)
+        g.add("batch_events_per_sec", evPerSec)
+        g.add("committed_version", version)
+        writer.write(g)
+      }
+    } finally writer.close()
   }
 
   /** Reconstruct a skipped-replay batch's metrics rows from the committed
