@@ -31,4 +31,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // scratch lake tables / checkpoints (Files.createTempDirectory) on fast
+  // local scratch, matching the bench's tmpfs spark.local.dir default —
+  // /tmp is disk-backed ext4 on this host, and every fixture query's
+  // staged-write/rename/commit cycle otherwise pays disk latency.
+  // Parameterised; falls back to the JVM default when the dir is absent.
+  s"-Djava.io.tmpdir=${
+    val d = sys.env.getOrElse("SPARK_GRAFT_TMPDIR", "/dev/shm/graft-tmp")
+    try { java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)); d }
+    catch { case _: Exception => System.getProperty("java.io.tmpdir") }
+  }",
 )

@@ -245,13 +245,53 @@ case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression 
 }
 
 object ShingleHashesExpr {
+  /** Fused walk: hash each codepoint window's bytes directly (identical to
+    * `tokenHash` over the window's UTF8String — same byte fold) and dedupe
+    * the LONGS (sorted ascending). No per-window string slice, no string
+    * set: ~2k windows per document previously allocated ~2k UTF8Strings +
+    * a LinkedHashSet per row. Output ORDER differs from the string path
+    * (sorted vs first-occurrence), which no consumer observes: MinHash is a
+    * min over the multiset and Jaccard is set math ([[JaccardHashesExpr]]
+    * re-sorts anyway). Dedupe-by-hash == dedupe-by-string modulo 64-bit
+    * collisions — the same accepted collision class as the hashed-set
+    * Jaccard, empirically output-identical at every SF.
+    */
   def shingleHashes(text: UTF8String, k: Int): ArrayData = {
-    val arr = ShinglesExpr.shingles(text, k)
-    val n = arr.numElements()
-    val out = new Array[Long](n)
+    val len = text.numChars()
+    if (len < k)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(SimHash64Expr.tokenHash(text)))
+    val bytes = text.getBytes
+    val starts = new Array[Int](len + 1)
+    var b = 0
+    var c = 0
+    while (c < len) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    starts(len) = bytes.length
+    val n = len - k + 1
+    val hs = new Array[Long](n)
     var i = 0
-    while (i < n) { out(i) = SimHash64Expr.tokenHash(arr.getUTF8String(i)); i += 1 }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    while (i < n) {
+      // identical to SimHash64Expr.tokenHash over the window's bytes
+      var h = 0x517cc1b727220a95L
+      var j = starts(i)
+      val end = starts(i + k)
+      while (j < end) { h = mix64(h ^ (bytes(j) & 0xffL)); j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      if (w == n) hs else java.util.Arrays.copyOf(hs, w))
   }
 
   def shingleHashes(text: Column, k: Int): Column =

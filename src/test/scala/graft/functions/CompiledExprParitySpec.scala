@@ -49,16 +49,18 @@ class CompiledExprParitySpec extends AnyFunSuite with SparkSupport {
     }
   }
 
-  test("ShingleHashesExpr == tokenHash over ShinglesExpr strings (incl. " +
-    "short-text edge and multi-byte codepoints)") {
+  test("ShingleHashesExpr == tokenHash over ShinglesExpr strings AS A SET " +
+    "(incl. short-text edge and multi-byte codepoints; the fused walk emits " +
+    "sorted-distinct order, which no consumer observes)") {
     val texts = Seq("", "short", "a" * 19, "a" * 20, "the quick brown fox jumps",
       "héllo wörld ünïcode text with enough length for shingles",
       ("lorem ipsum dolor sit amet " * 20).trim)
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
     val viaStrings = df.select($"id",
-      transform(TextFunctions.shingles($"t", 20),
-        s => GraftBridgeTestHook.tokenHashCol(s)).as("h"))
-    val direct = df.select($"id", TextFunctions.shingleHashes($"t", 20).as("h"))
+      sort_array(transform(TextFunctions.shingles($"t", 20),
+        s => GraftBridgeTestHook.tokenHashCol(s))).as("h"))
+    val direct = df.select($"id",
+      sort_array(TextFunctions.shingleHashes($"t", 20)).as("h"))
     assert(direct.except(viaStrings).isEmpty && viaStrings.except(direct).isEmpty)
   }
 
