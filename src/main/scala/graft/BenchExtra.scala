@@ -84,6 +84,43 @@ object BenchExtra {
         time("probe-encoder-all")(noop(enc))
         time("probe-encoder-light")(noop(enc.select(col("after.repo"), col("after.path"),
           col("vgtid"), col("event_seq"))))
+      case "minhash-nopersist" =>
+        // current shipped query (persisted hashed shingles) vs the same
+        // plan WITHOUT the persist (recompute shingle hashes 3x)
+        import org.apache.spark.sql.functions._
+        import graft.functions.{TextFunctions => T}
+        def planted() = {
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          val m = d.select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), lit(1),
+              greatest(size(split(trim(col("text")), "\\s+")) - 2, lit(1)))).as("text"))
+          d.unionByName(m)
+        }
+        def variant(persist: Boolean): org.apache.spark.sql.DataFrame = {
+          var docs = planted().select(col("doc_id"),
+            T.shingleHashes(col("text"), 20).as("shh"))
+          if (persist) docs = docs.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val sig = docs.withColumn("band", explode(T.lshBandKeys(
+            T.minhashFromHashes(col("shh"), 32), 16, 2)))
+            .select(col("doc_id"), col("band"))
+          val cand = sig.select(col("band"), col("doc_id").as("a_id"))
+            .join(sig.select(col("band"), col("doc_id").as("b_id")).hint("shuffle_hash"),
+              Seq("band"))
+            .filter(col("a_id") < col("b_id"))
+            .dropDuplicates("a_id", "b_id")
+          cand
+            .join(docs.select(col("doc_id").as("a_id"), col("shh").as("a_sh"))
+              .hint("shuffle_hash"), Seq("a_id"))
+            .join(docs.select(col("doc_id").as("b_id"), col("shh").as("b_sh"))
+              .hint("shuffle_hash"), Seq("b_id"))
+            .select(col("a_id"), col("b_id"),
+              T.jaccardHashesPermille(col("a_sh"), col("b_sh")).as("jacc_pm"))
+            .filter(col("jacc_pm") >= 700)
+        }
+        time("mh-persist")(variant(true).count())
+        time("mh-nopersist")(variant(false).count())
       case "minhash-parity" =>
         // old string-shingle dedup_minhash formulation vs the shipped
         // hashed-shingle one, full output comparison at this SF (the DuckDB

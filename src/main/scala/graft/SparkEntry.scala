@@ -103,6 +103,10 @@ object SparkEntry {
 
   private def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
+    // the .distinct() looks redundant under LEFT SEMI (exists semantics),
+    // but KEEP it: measured A/B (r6) showed dropping it is ~0.2 s SLOWER —
+    // lineitem keys are ~4:1 duplicated, so the partial-aggregated distinct
+    // shrinks the broadcast hash build more than its exchange costs
     val l = t(s, dir, "lineitem").select(col("l_orderkey")).distinct()
     o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
@@ -110,7 +114,7 @@ object SparkEntry {
 
   private def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders").select(col("o_custkey")).distinct()
+    val o = t(s, dir, "orders").select(col("o_custkey")).distinct() // see q4
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
