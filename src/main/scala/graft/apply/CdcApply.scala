@@ -117,7 +117,8 @@ object CdcApply {
     * would silently corrupt the LWW grouping, so fail loud instead.
     */
   private val ReservedKeyNames =
-    Set("rank", "salt", "win", "key_events", "sub_events", "rn", "kind", "bucket")
+    Set("rank", "salt", "win", "key_events", "sub_events", "rn", "kind", "bucket",
+      "payload")
 
   /** Canonical merge-key columns `_<name>` from the event's after/before
     * images (delete events carry the key only in `before`). `landing` maps
@@ -177,10 +178,17 @@ object CdcApply {
     // `_key_events` (events folded into this key) rides along so per-shard
     // processed-row counts can be recovered from the winners without
     // re-scanning the source (sum of per-key counts = batch rows).
+    // The payload struct is PRE-BUILT in the (codegen'd) child projection —
+    // inside the aggregate it is a bound reference, so LwwMaxBy's update
+    // sees an UnsafeRow and copies winners with one buffer memcpy instead
+    // of an interpreted CreateNamedStruct eval + field re-encode per
+    // improving row (ObjectHashAggregate evaluates update expressions
+    // interpreted).
     keyed
+      .withColumn("_payload", struct(payload: _*))
       .groupBy(keyCols: _*)
       .agg(graft.functions.LwwMaxBy.lww_max_by(
-        struct(payload: _*), col("_rank"), col("event_seq")).as("_win"),
+        col("_payload"), col("_rank"), col("event_seq")).as("_win"),
         count(lit(1)).as("_key_events"))
       .select(keyCols ++ Seq(col("_win.*"), col("_key_events")): _*)
   }
@@ -283,9 +291,10 @@ object CdcApply {
     val filtered = keyed.filter(winFilter)
     val payload = events.columns.map(col) :+ col("_rank")
     val winners = filtered
+      .withColumn("_payload", struct(payload: _*)) // pre-built, see dedupLww
       .groupBy(keyCols: _*)
       .agg(graft.functions.LwwMaxBy.lww_max_by(
-        struct(payload: _*), col("_rank"), col("event_seq")).as("_win"))
+        col("_payload"), col("_rank"), col("event_seq")).as("_win"))
     // attach pass-1's per-key event counts (null-safe: null keys group)
     val joinCond = keys.map(k => col(s"_$k") <=> col(s"_w_$k")).reduce(_ && _)
     val out = winners.join(light, joinCond, "inner")
@@ -311,9 +320,10 @@ object CdcApply {
     val keyCols = keys.map(k => col(s"_$k"))
     val payload = events.columns.map(col) :+ col("_rank")
     val partial = keyed
+      .withColumn("_payload", struct(payload: _*)) // pre-built, see dedupLww
       .groupBy(keyCols :+ pmod(col("event_seq"), lit(salts)).as("_salt"): _*)
       .agg(graft.functions.LwwMaxBy.lww_max_by(
-        struct(payload: _*), col("_rank"), col("event_seq")).as("_win"),
+        col("_payload"), col("_rank"), col("event_seq")).as("_win"),
         count(lit(1)).as("_sub_events"))
     partial
       .groupBy(keyCols: _*)

@@ -60,7 +60,14 @@ case class LwwMaxBy(
         if (p != null) {
           b.rank = rl
           b.seq = sl
-          b.payload = toUnsafe(p.asInstanceOf[InternalRow]).copy()
+          // fast path: a payload that is ALREADY an UnsafeRow (the struct
+          // was built by the codegen'd child projection, so `payload` here
+          // is just a bound reference) copies as one buffer memcpy instead
+          // of a field-by-field UnsafeProjection re-encode
+          b.payload = p match {
+            case u: UnsafeRow => u.copy()
+            case row: InternalRow => toUnsafe(row).copy()
+          }
         }
       }
     }
