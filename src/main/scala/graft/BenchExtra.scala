@@ -37,6 +37,10 @@ object BenchExtra {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "ERROR"))
+    // probe knob: ObjectHashAggregate sort-fallback threshold (default 128
+    // in-memory keys — measured against the LWW aggregate's ~200k keys)
+    sys.env.get("SPARK_GRAFT_OHA").foreach(v =>
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v))
 
     def time(label: String)(f: => Unit): Unit = {
       val secs = (1 to reps).map { _ =>
