@@ -14,11 +14,26 @@ import org.apache.spark.sql.functions.col
   *
   * Usage: runMain graft.BenchExtra <what> [reps]
   *   <what> = comma-separated query names, or
-  *            gen        — changelog generation alone (noop sink)
-  *            gen-light  — generation with content/commit pruned (noop sink)
-  *            dedup      — generation + LWW dedup (noop sink)
-  *            replay     — full replay (Bench methodology, fresh table per rep)
-  *            all        — every query, bench methodology
+  *            gen         — changelog generation alone (noop sink)
+  *            gen-light   — generation with payload structs dropped
+  *            gen-plan / gen-probe / gen-probe2 / gen-probe3 / gen-probe-plan
+  *                        — generation bisection probes (flat vs struct vs
+  *                          conditional-struct, encoder vs expression)
+  *            dedup       — generation + LWW dedup (noop sink)
+  *            replay      — full replay (Bench methodology, fresh table/rep)
+  *            replay-ab / replay-matrix — old-vs-new arms interleaved in ONE
+  *                          JVM (the only trustworthy A/B on this host; the
+  *                          parallel-throttle axis drifts 3-4x between
+  *                          minutes and the single-thread canary misses it)
+  *            small-batch — two-pass vs single-pass dedup on a 4k batch
+  *            minhash-parity / minhash-nopersist — dedup_minhash old-vs-new
+  *                          full-output comparison / persist A/B at this SF
+  *            micro       — single-thread closed-form generation cost
+  *            all         — every query, bench methodology
+  *
+  * Env: SPARK_GRAFT_APPLY_TIMING=1 prints per-phase apply timings;
+  *      SPARK_GRAFT_OHA=<n> probes the ObjectHashAggregate sort-fallback
+  *      threshold; SPARK_GRAFT_LOGLEVEL overrides the default ERROR.
   */
 object BenchExtra {
   def main(args: Array[String]): Unit = {
